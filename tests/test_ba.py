@@ -1,0 +1,200 @@
+"""Bundle adjustment tests on synthetic scenes with known minima.
+
+Mirrors the reference's implicit spec: fastba (2-iter GN, ramp/fastba/) and
+the differentiable training BA (ramp/ba.py) both minimize center-pixel
+reprojection error over a patch graph.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rampvo_tpu.ba import ba_infer, ba_train, linearize_center
+from rampvo_tpu.lie import SE3, ops as lops
+
+
+def make_scene(seed=0, n_frames=4, n_patches=32):
+    rng = np.random.RandomState(seed)
+    intr = np.array([120.0, 120.0, 160.0, 120.0], np.float32)
+    fx, fy, cx, cy = intr
+
+    # ground-truth world-to-camera poses: small motions from identity
+    xi = 0.05 * rng.randn(n_frames, 6).astype(np.float32)
+    xi[0] = 0
+    poses_gt = lops.se3_exp(jnp.asarray(xi))  # [N,7]
+
+    # patches hosted in frame 0: pixel coords + inverse depth
+    x = rng.uniform(cx - 100, cx + 100, n_patches).astype(np.float32)
+    y = rng.uniform(cy - 80, cy + 80, n_patches).astype(np.float32)
+    idepth = rng.uniform(0.25, 1.0, n_patches).astype(np.float32)
+    centers = jnp.stack([jnp.asarray(x), jnp.asarray(y), jnp.asarray(idepth)], -1)
+
+    # edges: every patch observed in every other frame
+    ii = np.repeat(0, n_patches * (n_frames - 1))
+    jj = np.repeat(np.arange(1, n_frames), n_patches)
+    kk = np.tile(np.arange(n_patches), n_frames - 1)
+    ii, jj, kk = map(lambda a: jnp.asarray(a, jnp.int32), (ii, jj, kk))
+
+    intr_e = jnp.broadcast_to(jnp.asarray(intr), (ii.shape[0], 4))
+    targets, Z, *_ = linearize_center(
+        poses_gt, centers[kk], intr_e, intr_e, ii, jj
+    )
+    assert np.all(np.asarray(Z) > 0.2)
+    return jnp.asarray(intr), poses_gt, centers, ii, jj, kk, targets
+
+
+def patches_from_centers(centers, P=3):
+    M = centers.shape[0]
+    p = jnp.zeros((M, 3, P, P), jnp.float32)
+    return p + centers[:, :, None, None]
+
+
+class TestBAInfer:
+    def test_converges_to_gt_poses(self):
+        # two poses held fixed (t0=2) to pin the monocular scale gauge
+        intr, poses_gt, centers, ii, jj, kk, targets = make_scene()
+        M = centers.shape[0]
+
+        rng = np.random.RandomState(1)
+        noise = 0.02 * rng.randn(4, 6).astype(np.float32)
+        noise[:2] = 0
+        poses0 = lops.se3_mul(lops.se3_exp(jnp.asarray(noise)), poses_gt)
+
+        weights = jnp.ones((ii.shape[0], 2), jnp.float32)
+        poses1, pwin1 = ba_infer(
+            poses0,
+            patches_from_centers(centers),
+            intr,
+            targets,
+            weights,
+            jnp.float32(1e-4),
+            ii,
+            jj,
+            kk,
+            jnp.int32(2),
+            jnp.int32(4),
+            N=2,
+            M=M,
+            iterations=10,
+        )
+
+        err0 = np.linalg.norm(np.asarray(poses0 - poses_gt))
+        err1 = np.linalg.norm(np.asarray(poses1 - poses_gt))
+        assert err1 < 0.05 * err0, (err0, err1)
+
+    def test_depth_only_structure(self):
+        intr, poses_gt, centers, ii, jj, kk, targets = make_scene(seed=3)
+        M = centers.shape[0]
+        bad = centers.at[:, 2].mul(1.5)  # corrupt inverse depths
+
+        weights = jnp.ones((ii.shape[0], 2), jnp.float32)
+        _, pwin1 = ba_infer(
+            poses_gt,
+            patches_from_centers(bad),
+            intr,
+            targets,
+            weights,
+            jnp.float32(1e-5),
+            ii,
+            jj,
+            kk,
+            jnp.int32(4),
+            jnp.int32(4),  # t0 == t1 -> no free poses
+            N=4,
+            M=M,
+            iterations=10,
+            structure_only=True,
+        )
+        d1 = np.asarray(pwin1[:, 2, 0, 0])
+        d_gt = np.asarray(centers[:, 2])
+        assert np.abs(d1 - d_gt).max() < 1e-2
+
+    def test_invalid_edges_ignored(self):
+        intr, poses_gt, centers, ii, jj, kk, targets = make_scene(seed=5)
+        M = centers.shape[0]
+        E = ii.shape[0]
+
+        weights = jnp.ones((E, 2), jnp.float32)
+        args = dict(N=3, M=M, iterations=2)
+        poses_a, _ = ba_infer(
+            poses_gt, patches_from_centers(centers), intr, targets, weights,
+            jnp.float32(1e-4), ii, jj, kk, jnp.int32(1), jnp.int32(4), **args
+        )
+
+        # append garbage edges with valid=False; result must be identical
+        pad = 7
+        ii2 = jnp.concatenate([ii, jnp.zeros(pad, jnp.int32)])
+        jj2 = jnp.concatenate([jj, jnp.full((pad,), 2, jnp.int32)])
+        kk2 = jnp.concatenate([kk, jnp.zeros(pad, jnp.int32)])
+        tg2 = jnp.concatenate([targets, 1e6 * jnp.ones((pad, 2))])
+        wt2 = jnp.concatenate([weights, jnp.ones((pad, 2))])
+        vmask = jnp.concatenate([jnp.ones(E, bool), jnp.zeros(pad, bool)])
+        poses_b, _ = ba_infer(
+            poses_gt, patches_from_centers(centers), intr, tg2, wt2,
+            jnp.float32(1e-4), ii2, jj2, kk2, jnp.int32(1), jnp.int32(4),
+            valid=vmask, **args
+        )
+        np.testing.assert_allclose(np.asarray(poses_a), np.asarray(poses_b), atol=1e-5)
+
+    def test_gauge_first_pose_fixed(self):
+        intr, poses_gt, centers, ii, jj, kk, targets = make_scene(seed=7)
+        M = centers.shape[0]
+        weights = jnp.ones((ii.shape[0], 2), jnp.float32)
+        poses1, _ = ba_infer(
+            poses_gt, patches_from_centers(centers), intr, targets, weights,
+            jnp.float32(1e-4), ii, jj, kk, jnp.int32(1), jnp.int32(4),
+            N=3, M=M, iterations=3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(poses1[0]), np.asarray(poses_gt[0]), atol=1e-7
+        )
+
+
+class TestBATrain:
+    def _batched(self, seed=0):
+        intr, poses_gt, centers, ii, jj, kk, targets = make_scene(seed=seed)
+        intrinsics = jnp.broadcast_to(intr, (1, 4, 4))
+        patches = patches_from_centers(centers)[None]
+        return intrinsics, poses_gt, patches, ii, jj, kk, targets[None]
+
+    def test_reduces_residual(self):
+        intrinsics, poses_gt, patches, ii, jj, kk, targets = self._batched()
+        rng = np.random.RandomState(2)
+        noise = 0.02 * rng.randn(4, 6).astype(np.float32)
+        noise[0] = 0
+        poses0 = SE3(lops.se3_mul(lops.se3_exp(jnp.asarray(noise)), poses_gt)[None])
+
+        weights = jnp.ones(targets.shape, jnp.float32)
+        bounds = (0.0, 0.0, 320.0, 240.0)
+
+        def resid(poses, ptch):
+            intr_e = jnp.broadcast_to(intrinsics[0, 0], (ii.shape[0], 4))
+            c, *_ = linearize_center(
+                poses.data[0], ptch[0][kk, :, 1, 1], intr_e, intr_e, ii, jj
+            )
+            return float(jnp.linalg.norm(targets[0] - c))
+
+        p, q = poses0, patches
+        for _ in range(4):
+            p, q = ba_train(
+                p, q, intrinsics, targets, weights, jnp.float32(1e-4),
+                ii, jj, kk, bounds, ep=1.0,
+            )
+        assert resid(p, q) < 0.01 * resid(poses0, patches)
+
+    def test_differentiable(self):
+        intrinsics, poses_gt, patches, ii, jj, kk, targets = self._batched(seed=4)
+        weights = jnp.ones(targets.shape, jnp.float32)
+        bounds = (0.0, 0.0, 320.0, 240.0)
+
+        def loss(tgt):
+            p, q = ba_train(
+                SE3(poses_gt[None]), patches, intrinsics, tgt, weights,
+                jnp.float32(1e-4), ii, jj, kk, bounds,
+            )
+            return jnp.sum(p.data**2) + jnp.sum(q[..., 2, 1, 1] ** 2)
+
+        g = jax.grad(loss)(targets)
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert np.abs(np.asarray(g)).max() > 0
