@@ -1,0 +1,38 @@
+"""Networks: RAMP encoders, update operator, VONet.
+
+Flax re-design of the reference model stack (ramp/net.py, ramp/extractor.py,
+ramp/blocks.py) with TPU-native layouts: channels-last (NHWC) feature maps,
+`lax.scan` pixel-wise LSTMs, segment-op SoftAgg, and explicit functional
+recurrent state (no module-held mutable hidden states).
+"""
+
+from .blocks import GatedResidual, SoftAgg, grad_clip
+from .encoders import (
+    BasicEncoder4,
+    LSTMEncoder,
+    MultiScaleBasicEncoder4,
+    MultiScaleEncoder,
+    PixelLSTM,
+    ResidualBlock,
+    SingleScaleEncoder,
+    SuperStateEncoder,
+)
+from .update import Update
+from .vonet import VONet, Patchifier
+
+__all__ = [
+    "GatedResidual",
+    "SoftAgg",
+    "grad_clip",
+    "ResidualBlock",
+    "BasicEncoder4",
+    "MultiScaleBasicEncoder4",
+    "PixelLSTM",
+    "LSTMEncoder",
+    "SuperStateEncoder",
+    "SingleScaleEncoder",
+    "MultiScaleEncoder",
+    "Update",
+    "VONet",
+    "Patchifier",
+]

@@ -1,0 +1,89 @@
+"""Network building blocks (ref: ramp/blocks.py).
+
+SoftAgg replaces torch_scatter softmax-pooling with `jax.ops.segment_*`
+(static segment counts, valid-masked for fixed-capacity edge tables).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops.scatter import compact_ids, segment_softmax, segment_sum
+
+
+@jax.custom_vjp
+def grad_clip(x):
+    """Identity with backward grads NaN-zeroed and clamped to ±0.01
+    (ref: ramp/blocks.py:76-91)."""
+    return x
+
+
+def _gc_fwd(x):
+    return x, None
+
+
+def _gc_bwd(_, g):
+    g = jnp.where(jnp.isnan(g), 0.0, g)
+    return (jnp.clip(g, -0.01, 0.01),)
+
+
+grad_clip.defvjp(_gc_fwd, _gc_bwd)
+
+
+@jax.custom_vjp
+def grad_zero(x):
+    """Identity; backward zeroes NaNs and grads with |g| > 0.1
+    (ref: ramp/blocks.py:93-109)."""
+    return x
+
+
+def _gz_fwd(x):
+    return x, None
+
+
+def _gz_bwd(_, g):
+    g = jnp.where(jnp.isnan(g), 0.0, g)
+    return (jnp.where(jnp.abs(g) > 0.1, 0.0, g),)
+
+
+grad_zero.defvjp(_gz_fwd, _gz_bwd)
+
+
+class GatedResidual(nn.Module):
+    """x + sigmoid(W_g x) * MLP(x)  (ref: ramp/blocks.py:15-31)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        gate = nn.sigmoid(nn.Dense(self.dim, name="gate_fc")(x))
+        res = nn.Dense(self.dim, name="res_fc2")(
+            nn.relu(nn.Dense(self.dim, name="res_fc1")(x))
+        )
+        return x + gate * res
+
+
+class SoftAgg(nn.Module):
+    """Softmax attention-pooling over index groups (ref: ramp/blocks.py:33-50).
+
+    x [E, D], ix [E] arbitrary int group ids; output [E, D] where each row
+    receives its group's pooled value. `valid` masks fixed-capacity padding:
+    invalid rows contribute nothing (their own output is garbage and must be
+    ignored downstream).
+    """
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x, ix, valid=None):
+        E = x.shape[0]
+        f = nn.Dense(self.dim, name="f")
+        g = nn.Dense(self.dim, name="g")
+        h = nn.Dense(self.dim, name="h")
+
+        jx = compact_ids(ix.astype(jnp.int32), capacity=E)
+        w = segment_softmax(g(x), jx, num_segments=E, valid=valid)
+        y = segment_sum(f(x) * w, jx, num_segments=E, valid=valid)
+        return h(y)[jx]

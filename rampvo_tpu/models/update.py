@@ -1,0 +1,61 @@
+"""The edge-wise recurrent update operator (ref: ramp/net.py:34-90).
+
+Operates on the fixed-capacity edge table unbatched: net [E, 384]. Temporal
+neighbor message passing uses the argsort-based `ops.neighbors` (replacing
+the reference's CPU round-trip through fastba.neighbors, ba.cpp:59-97);
+SoftAgg pools over patch-track (kk) and frame-pair (ii*12345+jj) groups.
+`valid` masks padding rows of the edge table — they contribute to nothing,
+and their outputs must be ignored by the caller.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops.neighbors import neighbors
+from .blocks import GatedResidual, SoftAgg, grad_clip
+
+DIM = 384  # net.py:31
+
+
+class Update(nn.Module):
+    patch_size: int = 3
+
+    @nn.compact
+    def __call__(self, net, inp, corr, ii, jj, kk, valid=None):
+        p = self.patch_size
+        ln = lambda name: nn.LayerNorm(epsilon=1e-3, name=name)
+
+        def corr_mlp(x):
+            x = nn.Dense(DIM, name="corr_fc1")(x)
+            x = nn.Dense(DIM, name="corr_fc2")(nn.relu(x))
+            x = nn.LayerNorm(epsilon=1e-3, name="corr_ln")(x)
+            return nn.Dense(DIM, name="corr_fc3")(nn.relu(x))
+
+        def c1(x):
+            return nn.Dense(DIM, name="c1_fc2")(nn.relu(nn.Dense(DIM, name="c1_fc1")(x)))
+
+        def c2(x):
+            return nn.Dense(DIM, name="c2_fc2")(nn.relu(nn.Dense(DIM, name="c2_fc1")(x)))
+
+        net = net + inp + corr_mlp(corr)
+        net = ln("norm")(net)
+
+        ix, jx = neighbors(kk, jj, valid=valid)
+        mask_ix = (ix >= 0).astype(net.dtype)[:, None]
+        mask_jx = (jx >= 0).astype(net.dtype)[:, None]
+        net = net + c1(mask_ix * net[ix])
+        net = net + c2(mask_jx * net[jx])
+
+        net = net + SoftAgg(DIM, name="agg_kk")(net, kk, valid=valid)
+        net = net + SoftAgg(DIM, name="agg_ij")(net, ii * 12345 + jj, valid=valid)
+
+        net = ln("gru_ln1")(net)
+        net = GatedResidual(DIM, name="gru_res1")(net)
+        net = ln("gru_ln2")(net)
+        net = GatedResidual(DIM, name="gru_res2")(net)
+
+        delta = grad_clip(nn.Dense(2, name="d_fc")(nn.relu(net)))
+        weight = nn.sigmoid(grad_clip(nn.Dense(2, name="w_fc")(nn.relu(net))))
+        return net, (delta, weight)

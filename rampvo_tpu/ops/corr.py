@@ -161,3 +161,15 @@ def avg_pool2d(x: jnp.ndarray, k: int) -> jnp.ndarray:
 def pyramidify(fmap: jnp.ndarray, lvls=(1, 4)):
     """Feature pyramid by average pooling (ref: ramp/utils.py:81-90). NHWC."""
     return [avg_pool2d(fmap, lvl) for lvl in lvls]
+
+
+def corr_stack(c1: jnp.ndarray, c2: jnp.ndarray) -> jnp.ndarray:
+    """Stack 2 pyramid-level correlation volumes into the Update operator's
+    input layout: level is the FASTEST-varying axis, matching the
+    reference's `torch.stack([corr1, corr2], -1).view(1, E, -1)`
+    (ramp/Ramp_vo.py:182, ramp/net.py:229) — the pretrained corr-MLP weights
+    depend on this ordering.
+
+    c1, c2: [E, P, P, (2R+1)²] -> [E, 2*(2R+1)²*P*P]
+    """
+    return jnp.stack([c1, c2], axis=-1).reshape(c1.shape[0], -1)

@@ -1,0 +1,246 @@
+"""Model tests: torch-parity for primitives, shape/state contracts for the
+encoders, masking invariances for the update operator."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rampvo_tpu.models import (
+    BasicEncoder4,
+    MultiScaleEncoder,
+    PixelLSTM,
+    SingleScaleEncoder,
+    Update,
+    VONet,
+)
+from rampvo_tpu.models.encoders import instance_norm
+from rampvo_tpu.models.vonet import (
+    extract_patches,
+    filter_features,
+    select_coords_event_bias,
+    select_coords_random,
+)
+
+H, W = 32, 48
+
+
+class TestPixelLSTMTorchParity:
+    def test_matches_torch_lstm(self):
+        torch = pytest.importorskip("torch")
+        T, C, hid = 4, 5, 7
+        rng = np.random.RandomState(0)
+        x = rng.randn(T, 6, 8, C).astype(np.float32)
+
+        model = PixelLSTM(hid)
+        params = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        out, (h, c) = model.apply(params, jnp.asarray(x))
+
+        tl = torch.nn.LSTM(input_size=C, hidden_size=hid, batch_first=True)
+        p = params["params"]
+        with torch.no_grad():
+            tl.weight_ih_l0.copy_(torch.from_numpy(np.asarray(p["weight_ih"]).T))
+            tl.weight_hh_l0.copy_(torch.from_numpy(np.asarray(p["weight_hh"]).T))
+            tl.bias_ih_l0.copy_(torch.from_numpy(np.asarray(p["bias_ih"])))
+            tl.bias_hh_l0.copy_(torch.from_numpy(np.asarray(p["bias_hh"])))
+
+        # torch layout: (B*H*W, T, C) pixel sequences (extractor.py:239-243)
+        xt = torch.from_numpy(x.transpose(1, 2, 0, 3).reshape(6 * 8, T, C))
+        with torch.no_grad():
+            yt, (ht, ct) = tl(xt)
+        yt = yt.numpy().reshape(6, 8, T, hid).transpose(2, 0, 1, 3)
+
+        np.testing.assert_allclose(np.asarray(out), yt, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(h), ht.numpy().reshape(6, 8, hid), atol=1e-5
+        )
+
+    def test_carry_continues_sequence(self):
+        T, C, hid = 6, 3, 5
+        x = jnp.asarray(np.random.RandomState(1).randn(T, 4, 4, C), jnp.float32)
+        model = PixelLSTM(hid)
+        params = model.init(jax.random.PRNGKey(0), x)
+
+        full, _ = model.apply(params, x)
+        first, carry = model.apply(params, x[:3])
+        second, _ = model.apply(params, x[3:], carry)
+        np.testing.assert_allclose(
+            np.asarray(full), np.asarray(jnp.concatenate([first, second])), atol=1e-6
+        )
+
+
+class TestInstanceNorm:
+    def test_matches_torch(self):
+        torch = pytest.importorskip("torch")
+        x = np.random.RandomState(0).randn(2, 8, 6, 4).astype(np.float32)
+        got = instance_norm(jnp.asarray(x))
+        want = torch.nn.functional.instance_norm(
+            torch.from_numpy(x.transpose(0, 3, 1, 2))
+        ).numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+class TestEncoders:
+    def test_basic_encoder4_shape(self):
+        x = jnp.ones((2, H, W, 15))
+        m = BasicEncoder4(output_dim=128, norm_fn="instance", channel_dim=15)
+        params = m.init(jax.random.PRNGKey(0), x)
+        y = m.apply(params, x)
+        assert y.shape == (2, H // 4, W // 4, 128)
+
+    def test_single_scale_shapes_and_state(self):
+        T = 2
+        ev = jnp.asarray(np.random.RandomState(0).rand(T, H, W, 5), jnp.float32)
+        im = jnp.asarray(np.random.RandomState(1).rand(T, H, W, 3), jnp.float32)
+        m = SingleScaleEncoder(5, 3, lstm_dim=15, output_dim_f=32, output_dim_i=48)
+        params = m.init(jax.random.PRNGKey(0), ev, im)
+        fmap, imap, state = m.apply(params, ev, im)
+        assert fmap.shape == (T, H // 4, W // 4, 32)
+        assert imap.shape == (T, H // 4, W // 4, 48)
+
+        # recurrent state must change the second call's output
+        fmap2, _, _ = m.apply(params, ev, im, state)
+        assert not np.allclose(np.asarray(fmap), np.asarray(fmap2))
+
+    def test_single_scale_absent_modality_skips_fold(self):
+        # zero events must not alter the super-state (presence gate)
+        T = 1
+        ev0 = jnp.zeros((T, H, W, 5))
+        im = jnp.asarray(np.random.RandomState(1).rand(T, H, W, 3), jnp.float32)
+        m = SingleScaleEncoder(5, 3, lstm_dim=15, output_dim_f=16, output_dim_i=16)
+        params = m.init(jax.random.PRNGKey(0), ev0, im)
+        _, _, st_a = m.apply(params, ev0, im)
+
+        # folding events then images vs images only from scratch: with zero
+        # events the ss after the call must equal the images-only fold
+        _, _, st_b = m.apply(params, ev0, im)
+        np.testing.assert_allclose(
+            np.asarray(st_a["ss"]), np.asarray(st_b["ss"]), atol=0
+        )
+        assert float(jnp.abs(st_a["ss"]).max()) > 0  # image did fold
+
+    def test_multi_scale_shapes_and_gather(self):
+        T, Ti = 3, 2
+        ev = jnp.asarray(np.random.RandomState(0).rand(T, H, W, 5), jnp.float32)
+        im = jnp.asarray(np.random.RandomState(1).rand(Ti, H, W, 3), jnp.float32)
+        mask = jnp.asarray([True, False, True])
+        m = MultiScaleEncoder(5, 3, lstm_dim=8, output_dim_f=32, output_dim_i=48)
+        params = m.init(jax.random.PRNGKey(0), ev, im, mask, None, 2)
+        fmap, imap, state = m.apply(params, ev, im, mask, None, 2)
+        assert fmap.shape == (2, H // 4, W // 4, 32)
+        assert imap.shape == (2, H // 4, W // 4, 48)
+        assert len(state["ss"]) == 3
+        assert state["ss"][0].shape == (H, W, 8)
+        assert state["ss"][1].shape == (H // 2, W // 2, 16)
+        assert state["ss"][2].shape == (H // 4, W // 4, 32)
+
+
+class TestUpdate:
+    def _setup(self, E=24, Ecap=None):
+        rng = np.random.RandomState(0)
+        net = rng.randn(E, 384).astype(np.float32)
+        inp = rng.randn(E, 384).astype(np.float32)
+        corr = rng.randn(E, 2 * 49 * 9).astype(np.float32)
+        ii = rng.randint(0, 4, E).astype(np.int32)
+        jj = rng.randint(0, 4, E).astype(np.int32)
+        kk = rng.randint(0, 8, E).astype(np.int32)
+        return map(jnp.asarray, (net, inp, corr, ii, jj, kk))
+
+    def test_shapes(self):
+        net, inp, corr, ii, jj, kk = self._setup()
+        m = Update(3)
+        params = m.init(jax.random.PRNGKey(0), net, inp, corr, ii, jj, kk)
+        net2, (delta, weight) = m.apply(params, net, inp, corr, ii, jj, kk)
+        assert net2.shape == net.shape
+        assert delta.shape == (24, 2)
+        assert weight.shape == (24, 2)
+        assert float(weight.min()) >= 0 and float(weight.max()) <= 1
+
+    def test_padding_invariance(self):
+        """Appending invalid edges must not change valid edges' outputs."""
+        net, inp, corr, ii, jj, kk = self._setup()
+        E = net.shape[0]
+        m = Update(3)
+        params = m.init(jax.random.PRNGKey(0), net, inp, corr, ii, jj, kk)
+        out_a, (d_a, w_a) = m.apply(
+            params, net, inp, corr, ii, jj, kk, jnp.ones(E, bool)
+        )
+
+        pad = 9
+        rng = np.random.RandomState(7)
+        netp = jnp.concatenate([net, jnp.asarray(rng.randn(pad, 384), jnp.float32)])
+        inpp = jnp.concatenate([inp, jnp.asarray(rng.randn(pad, 384), jnp.float32)])
+        corrp = jnp.concatenate(
+            [corr, jnp.asarray(rng.randn(pad, 2 * 49 * 9), jnp.float32)]
+        )
+        iip = jnp.concatenate([ii, jnp.zeros(pad, jnp.int32)])
+        jjp = jnp.concatenate([jj, jnp.zeros(pad, jnp.int32)])
+        kkp = jnp.concatenate([kk, kk[:pad]])  # collide with real groups
+        valid = jnp.concatenate([jnp.ones(E, bool), jnp.zeros(pad, bool)])
+
+        out_b, (d_b, w_b) = m.apply(params, netp, inpp, corrp, iip, jjp, kkp, valid)
+        np.testing.assert_allclose(
+            np.asarray(out_a), np.asarray(out_b[:E]), atol=1e-4
+        )
+        np.testing.assert_allclose(np.asarray(d_a), np.asarray(d_b[:E]), atol=1e-5)
+
+
+class TestSelectionAndExtraction:
+    def test_event_bias_finds_spike(self):
+        ev = np.zeros((1, H, W, 5), np.float32)
+        ev[0, 20:24, 36:40, :] = 5.0  # 4x4 block -> one cell at 1/4 res
+        coords = select_coords_event_bias(jnp.asarray(ev), M=1, nms_rad=3)
+        x, y = np.asarray(coords[0, 0])
+        assert (x, y) == (9, 5), (x, y)
+
+    def test_random_coords_in_bounds(self):
+        c = select_coords_random(jax.random.PRNGKey(0), 2, 50, H // 4, W // 4)
+        assert c.shape == (2, 50, 2)
+        assert c.min() >= 1
+        assert np.asarray(c[..., 0]).max() < W // 4 - 1
+
+    def test_extract_patches_centers(self):
+        n, M = 1, 4
+        h, w = H // 4, W // 4
+        fmap = jnp.asarray(np.random.RandomState(0).rand(n, h, w, 16), jnp.float32)
+        imap = jnp.asarray(np.random.RandomState(1).rand(n, h, w, 8), jnp.float32)
+        images = jnp.zeros((n, H, W, 3))
+        disps = jnp.full((n, h, w), 0.7)
+        coords = jnp.asarray([[[3.0, 2.0], [5.0, 5.0], [1.0, 6.0], [7.0, 3.0]]])
+
+        gmap, imap_vec, patches, clr = extract_patches(
+            fmap, imap, images, disps, coords, P=3
+        )
+        assert gmap.shape == (n, M, 3, 3, 16)
+        assert imap_vec.shape == (n, M, 8)
+        assert patches.shape == (n, M, 3, 3, 3)
+        # patch center carries the selected pixel coords and its disparity
+        np.testing.assert_allclose(np.asarray(patches[0, :, 0, 1, 1]), [3, 5, 1, 7])
+        np.testing.assert_allclose(np.asarray(patches[0, :, 1, 1, 1]), [2, 5, 6, 3])
+        np.testing.assert_allclose(np.asarray(patches[0, :, 2, 1, 1]), [0.7] * 4)
+        # imap gathered at the exact cell
+        np.testing.assert_allclose(
+            np.asarray(imap_vec[0, 0]), np.asarray(imap[0, 2, 3]), atol=1e-6
+        )
+
+    def test_filter_features(self):
+        conf = jnp.ones((1, 3, 2))
+        target = jnp.asarray([[[5.0, 5.0], [-1.0, 3.0], [2.0, 100.0]]])
+        out = filter_features(conf, target, (20, 30))
+        np.testing.assert_allclose(np.asarray(out[0, :, 0]), [1, 0, 0])
+
+
+class TestVONet:
+    def test_init_and_both_paths(self):
+        ev = jnp.asarray(np.random.RandomState(0).rand(1, H, W, 5), jnp.float32)
+        im = jnp.asarray(np.random.RandomState(1).rand(1, H, W, 3), jnp.float32)
+        mask = jnp.asarray([True])
+
+        for mode in ("SingleScale", "MultiScale"):
+            net = VONet(input_mode=mode)
+            params = net.init(jax.random.PRNGKey(0), ev, im, mask)
+            fmap, imap, state = net.apply(
+                params, ev, im, mask, method=VONet.encode
+            )
+            assert fmap.shape == (1, H // 4, W // 4, 128)
+            assert imap.shape == (1, H // 4, W // 4, 384)
