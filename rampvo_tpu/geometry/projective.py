@@ -170,3 +170,59 @@ def coords_grid_with_index(d: jnp.ndarray):
 def set_depth(patches: jnp.ndarray, depth: jnp.ndarray) -> jnp.ndarray:
     """Overwrite the inverse-depth channel (ref: ramp/utils.py:99-101)."""
     return patches.at[..., 2, :, :].set(depth[..., None, None])
+
+
+def transform_edges(
+    poses_i: jnp.ndarray,   # [E, 7] SE3 data (world-to-camera) of source frames
+    poses_j: jnp.ndarray,   # [E, 7] of target frames
+    patches: jnp.ndarray,   # [E, 3, P, P]
+    intrinsics: jnp.ndarray,  # [4] shared pinhole
+) -> jnp.ndarray:
+    """Edge-wise patch reprojection with explicit pre-gathered poses.
+
+    The VO runtime gathers poses/patches through its logical->global maps and
+    calls this; semantics match `transform` (ref: projective_ops.py:50-65)
+    for a single shared camera. Returns coords [E, P, P, 2].
+    """
+    from ..lie import ops as lops
+
+    fx, fy, cx, cy = intrinsics
+    x = patches[:, 0]
+    y = patches[:, 1]
+    d = patches[:, 2]
+    X0 = jnp.stack(
+        [(x - cx) / fx, (y - cy) / fy, jnp.ones_like(d), d], axis=-1
+    )  # [E, P, P, 4]
+
+    Gij = lops.se3_mul(poses_j, lops.se3_inv(poses_i))
+    X1 = lops.se3_act4(Gij[:, None, None, :], X0)
+
+    Z = jnp.maximum(X1[..., 2], 0.1)
+    u = fx * (X1[..., 0] / Z) + cx
+    v = fy * (X1[..., 1] / Z) + cy
+    return jnp.stack([u, v], axis=-1)
+
+
+def flow_mag_edges(
+    poses_i, poses_j, patches, intrinsics, beta: float = 0.5
+) -> jnp.ndarray:
+    """Edge-wise blend of full and translation-only flow magnitude
+    (ref: projective_ops.py:108-118). Returns [E, P, P]."""
+    ident_rot = jnp.zeros_like(poses_j[..., 3:7]).at[..., 3].set(1.0)
+
+    coords0 = transform_edges(poses_i, poses_i, patches, intrinsics)
+    coords1 = transform_edges(poses_i, poses_j, patches, intrinsics)
+
+    # translation-only relative pose: zero out rotation of Gij by building
+    # Gj' = [R_i | t_j'] s.t. Gj' Gi^-1 has identity rotation and the same
+    # translation as Gij
+    from ..lie import ops as lops
+
+    Gij = lops.se3_mul(poses_j, lops.se3_inv(poses_i))
+    Gij_t = jnp.concatenate([Gij[..., :3], ident_rot], axis=-1)
+    Gj_t = lops.se3_mul(Gij_t, poses_i)
+    coords2 = transform_edges(poses_i, Gj_t, patches, intrinsics)
+
+    flow1 = jnp.linalg.norm(coords1 - coords0, axis=-1)
+    flow2 = jnp.linalg.norm(coords2 - coords0, axis=-1)
+    return beta * flow1 + (1 - beta) * flow2

@@ -1,0 +1,58 @@
+"""VO runtime configuration (ref: ramp/config.py + config_vo/*.yaml).
+
+Frozen dataclass so it can be a static jit argument. `from_yaml` consumes
+the reference's config_vo files unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class VOConfig:
+    # ref defaults: ramp/config.py:3-27
+    BUFFER_SIZE: int = 2048
+    PATCHES_PER_FRAME: int = 96
+    REMOVAL_WINDOW: int = 22
+    OPTIMIZATION_WINDOW: int = 10
+    PATCH_LIFETIME: int = 13
+    KEYFRAME_INDEX: int = 4
+    KEYFRAME_THRESH: float = 15.0
+    MOTION_MODEL: str = "DAMPED_LINEAR"
+    MOTION_DAMPING: float = 0.5
+    MIXED_PRECISION: bool = True
+    GRADIENT_BIAS: bool = False
+
+    # TPU-native capacities (not in the reference; sized from its dynamics)
+    MAX_FRAMES: int = 4096       # global frame-id capacity (>= total frames)
+    MEM: int = 32                # feature ring depth (Ramp_vo.py:72)
+
+    @property
+    def M(self) -> int:
+        return self.PATCHES_PER_FRAME
+
+    @property
+    def EDGE_CAPACITY(self) -> int:
+        # per host frame: M*(lifetime) backward + M*(lifetime-1) forward
+        # (Ramp_vo.py:312-325); hosts live REMOVAL_WINDOW frames (+slack)
+        per_host = self.M * (2 * self.PATCH_LIFETIME - 1)
+        return per_host * (self.REMOVAL_WINDOW + 3)
+
+    @property
+    def POSE_WINDOW(self) -> int:
+        # pose values BA may touch (free + fixed-but-linearized)
+        return self.REMOVAL_WINDOW + 4
+
+    @property
+    def PATCH_WINDOW(self) -> int:
+        return self.POSE_WINDOW * self.M
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "VOConfig":
+        import yaml
+
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in raw.items() if k in fields})

