@@ -1,0 +1,92 @@
+"""Benchmark: steady-state VO frame rate of the flagship MultiScale model.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the driver north-star of 120 FPS MultiScale inference per chip
+(BASELINE.md / BASELINE.json "north_star").
+"""
+
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--frames", type=int, default=40)
+    ap.add_argument("--height", type=int, default=480)
+    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--patches", type=int, default=96)
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rampvo_tpu.models import VONet
+    from rampvo_tpu.models.encoders import MultiScaleEncoder
+    from rampvo_tpu.vo import VOConfig
+    from rampvo_tpu.vo.runtime import make_vo_frame
+    from rampvo_tpu.vo.state import init_state
+
+    H, W = args.height, args.width
+    cfg = VOConfig(
+        BUFFER_SIZE=512,
+        MAX_FRAMES=512,
+        PATCHES_PER_FRAME=args.patches,
+        MIXED_PRECISION=True,
+    )
+    vonet = VONet(input_mode="MultiScale")
+    params = vonet.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, H, W, 5)),
+        jnp.zeros((1, H, W, 3)),
+        jnp.asarray([True]),
+    )
+    state = init_state(cfg, MultiScaleEncoder.init_state(H, W), H, W)
+    vo_frame = make_vo_frame(cfg, vonet)
+
+    rng = np.random.RandomState(0)
+    intr = jnp.asarray([320.0, 320.0, W / 2, H / 2], jnp.float32)
+    mask = jnp.asarray([True])
+
+    def frame(i):
+        ev = jnp.asarray(rng.rand(1, H, W, 5), jnp.float32)
+        im = jnp.asarray(rng.rand(1, H, W, 3), jnp.float32)
+        return ev, im
+
+    # warmup: compile + initialize the SLAM (first 10 frames incl. init burst)
+    n_warm = 10
+    for i in range(n_warm):
+        ev, im = frame(i)
+        state = vo_frame(params, state, ev, im, mask, intr)
+    jax.block_until_ready(state.poses)
+
+    # steady state timing
+    frames = [frame(n_warm + i) for i in range(args.frames)]
+    t0 = time.perf_counter()
+    for ev, im in frames:
+        state = vo_frame(params, state, ev, im, mask, intr)
+    jax.block_until_ready(state.poses)
+    dt = time.perf_counter() - t0
+
+    fps = args.frames / dt
+    print(
+        json.dumps(
+            {
+                "metric": "vo_fps_multiscale_480x640",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / 120.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
