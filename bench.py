@@ -40,6 +40,8 @@ def main():
         MAX_FRAMES=512,
         PATCHES_PER_FRAME=args.patches,
         MIXED_PRECISION=True,
+        PROBE_THRESH=-1.0,  # synthetic frames carry no real motion signal;
+        # force the full update+keyframe path so we measure the real workload
     )
     vonet = VONet(input_mode="MultiScale")
     params = vonet.init(

@@ -24,6 +24,10 @@ class VOConfig:
     MIXED_PRECISION: bool = True
     GRADIENT_BIAS: bool = False
 
+    # motion-probe gate threshold (ref: Ramp_vo.py:385); < 0 disables the
+    # gate (every frame committed) — used by benchmarks/synthetic tests
+    PROBE_THRESH: float = 2.0
+
     # TPU-native capacities (not in the reference; sized from its dynamics)
     MAX_FRAMES: int = 4096       # global frame-id capacity (>= total frames)
     MEM: int = 32                # feature ring depth (Ramp_vo.py:72)

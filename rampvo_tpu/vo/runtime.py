@@ -393,7 +393,7 @@ def make_vo_frame(cfg: VOConfig, vonet: VONet, event_bias: bool = True):
             lambda st: jnp.float32(1e9),
             state,
         )
-        skip = need_probe & (med < 2.0)
+        skip = need_probe & (med < cfg.PROBE_THRESH)
 
         def do_skip(st: VOState):
             g = st.counter - 1

@@ -92,7 +92,23 @@ def write_scene(root: str, n_frames=10, H=60, W=80, seed=0):
 
     # frame i timestamp = i * 1000 (matches events_from_images)
     np.savetxt(osp.join(root, "timestamps.txt"), np.arange(n_frames) * 1000.0)
-    np.savetxt(osp.join(root, "pose_left.txt"), poses, delimiter=" ")
+
+    # pose_left.txt in TartanAir NED layout: the reader permutes with
+    # NED_TO_XYZ_PERM = [1,2,0,4,5,3,6] and drops the first row
+    # (utils/eval_utils.py:139-148) — store the inverse permutation + a
+    # dummy first row so reading recovers `poses`.
+    inv_perm = [2, 0, 1, 5, 3, 4, 6]
+    ned = poses[:, inv_perm]
+    ned = np.concatenate([ned[:1], ned], axis=0)
+    np.savetxt(osp.join(root, "pose_left.txt"), ned, delimiter=" ")
+
+    fx, fy, cx, cy = [float(v) for v in intr]
+    with open(osp.join(root, "K.yaml"), "w") as f:
+        f.write(
+            "cam0:\n"
+            f"  intrinsics: [{fx}, {fy}, {cx}, {cy}]\n"
+            f"  resolution: [{W}, {H}]\n"
+        )
     return root, intr
 
 

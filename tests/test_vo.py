@@ -29,6 +29,7 @@ CFG = VOConfig(
     KEYFRAME_INDEX=2,
     KEYFRAME_THRESH=15.0,
     MIXED_PRECISION=False,
+    PROBE_THRESH=-1.0,  # random-net probe would skip everything
     MAX_FRAMES=64,
     MEM=16,
 )
@@ -135,7 +136,8 @@ class TestRuntimeSmoke:
         n = int(st.n)
         counter = int(st.counter)
         assert counter == 12
-        assert 1 <= n <= 12
+        assert bool(st.initialized)  # full update path exercised
+        assert 8 <= n <= 12
         assert np.all(np.isfinite(np.asarray(st.poses[:counter])))
 
         poses, tstamps = slam.terminate()
