@@ -146,8 +146,10 @@ def _solve_schur(B, E, C, v, u, lmbda, ep, lm, structure_only, n_dyn):
 
     L = jnp.linalg.cholesky(S)
     ok = jnp.all(jnp.isfinite(L))
-    S_safe = jnp.where(ok, S, jnp.eye(6 * N, dtype=S.dtype))
-    L_safe = jnp.linalg.cholesky(S_safe)
+    # single factorization: on failure substitute an identity factor so the
+    # solve stays finite, then zero the update (reference skips it,
+    # Ramp_vo.py:302-306)
+    L_safe = jnp.where(ok, L, jnp.eye(6 * N, dtype=S.dtype))
     dX = jax.scipy.linalg.cho_solve((L_safe, True), y)
     dX = jnp.where(ok, dX, 0.0)
 
@@ -182,47 +184,52 @@ def _assemble(r, w, Ji, Jj, Jz, i_slot, j_slot, k_slot, N, M):
     vj_ok = (j_slot >= 0) & (j_slot < N)
     vk_ok = (k_slot >= 0) & (k_slot < M)
 
-    def seg_mat(x, a, b, ok):
-        idx = jnp.where(ok, a * N + b, N * N)  # overflow bucket
-        out = jax.ops.segment_sum(
-            jnp.where(ok.reshape((E,) + (1,) * (x.ndim - 1)), x, 0.0),
-            idx,
-            num_segments=N * N + 1,
-        )
-        return out[: N * N].reshape((N, N) + x.shape[1:])
+    def masked_idx(a, b, scale, cap, ok):
+        return jnp.where(ok, a * scale + b, cap)
 
-    def seg_vec(x, a, ok, n):
-        idx = jnp.where(ok, a, n)
-        out = jax.ops.segment_sum(
-            jnp.where(ok.reshape((E,) + (1,) * (x.ndim - 1)), x, 0.0),
-            idx,
-            num_segments=n + 1,
-        )
-        return out[:n]
+    def mask_data(x, ok):
+        return jnp.where(ok.reshape((-1,) + (1,) * (x.ndim - 1)), x, 0.0)
 
-    B = (
-        seg_mat(Bii, i_slot, i_slot, vi_ok)
-        + seg_mat(Bij, i_slot, j_slot, vi_ok & vj_ok)
-        + seg_mat(Bji, j_slot, i_slot, vi_ok & vj_ok)
-        + seg_mat(Bjj, j_slot, j_slot, vj_ok)
-    )
+    # one batched scatter per destination (TPU scatter launches dominate the
+    # cost at this size; 4-in-1 beats 4 separate segment_sums ~2x)
+    B_idx = jnp.concatenate([
+        masked_idx(i_slot, i_slot, N, N * N, vi_ok),
+        masked_idx(i_slot, j_slot, N, N * N, vi_ok & vj_ok),
+        masked_idx(j_slot, i_slot, N, N * N, vi_ok & vj_ok),
+        masked_idx(j_slot, j_slot, N, N * N, vj_ok),
+    ])
+    B_dat = jnp.concatenate([
+        mask_data(Bii, vi_ok),
+        mask_data(Bij, vi_ok & vj_ok),
+        mask_data(Bji, vi_ok & vj_ok),
+        mask_data(Bjj, vj_ok),
+    ])
+    B = jax.ops.segment_sum(B_dat, B_idx, num_segments=N * N + 1)
+    B = B[: N * N].reshape(N, N, 6, 6)
 
-    def seg_km(x, a, k, ok):
-        idx = jnp.where(ok, a * M + k, N * M)
-        out = jax.ops.segment_sum(
-            jnp.where(ok.reshape((E,) + (1,) * (x.ndim - 1)), x, 0.0),
-            idx,
-            num_segments=N * M + 1,
-        )
-        return out[: N * M].reshape((N, M) + x.shape[1:])
+    E_idx = jnp.concatenate([
+        masked_idx(i_slot, k_slot, M, N * M, vi_ok & vk_ok),
+        masked_idx(j_slot, k_slot, M, N * M, vj_ok & vk_ok),
+    ])
+    E_dat = jnp.concatenate([
+        mask_data(Eik, vi_ok & vk_ok),
+        mask_data(Ejk, vj_ok & vk_ok),
+    ])
+    Emat = jax.ops.segment_sum(E_dat, E_idx, num_segments=N * M + 1)
+    Emat = Emat[: N * M].reshape(N, M, 6)
 
-    Emat = seg_km(Eik, i_slot, k_slot, vi_ok & vk_ok) + seg_km(
-        Ejk, j_slot, k_slot, vj_ok & vk_ok
-    )
-    C = seg_vec(Ck, k_slot, vk_ok, M)
-    v = seg_vec(vi, i_slot, vi_ok, N) + seg_vec(vj, j_slot, vj_ok, N)
-    u = seg_vec(uk, k_slot, vk_ok, M)
-    touched = seg_vec(w.sum(-1), k_slot, vk_ok, M) > 0
+    v_idx = jnp.concatenate([
+        jnp.where(vi_ok, i_slot, N), jnp.where(vj_ok, j_slot, N)
+    ])
+    v_dat = jnp.concatenate([mask_data(vi, vi_ok), mask_data(vj, vj_ok)])
+    v = jax.ops.segment_sum(v_dat, v_idx, num_segments=N + 1)[:N]
+
+    # C, u, touched share the kk index: one scatter of stacked features
+    cu = jnp.stack([Ck, uk, w.sum(-1)], axis=-1)
+    cu = jax.ops.segment_sum(
+        mask_data(cu, vk_ok), jnp.where(vk_ok, k_slot, M), num_segments=M + 1
+    )[:M]
+    C, u, touched = cu[:, 0], cu[:, 1], cu[:, 2] > 0
     return B, Emat, C, v, u, touched
 
 

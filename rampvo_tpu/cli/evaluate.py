@@ -98,9 +98,22 @@ def run(config_VO: VOConfig, params, eval_cfg, data_list,
 
 
 def evaluate_sequence(config_VO, params, eval_cfg, data_list, traj_ref,
-                      img_timestamps):
+                      img_timestamps, use_pose_pred=False):
     """(ref: evaluate.py:263-312)"""
-    poses, tstamps, points, colors = run(config_VO, params, eval_cfg, data_list)
+    if use_pose_pred:
+        # predict the second half of the trajectory (ref: evaluate.py:268-279)
+        t_to_pred = traj_ref.num_poses // 2
+        poses, tstamps = run_pose_pred(
+            config_VO, params, eval_cfg, data_list,
+            t_horizon_to_pred=traj_ref.num_poses - t_to_pred,
+            t_to_pred=t_to_pred,
+        )
+        points = np.zeros((len(poses), 3), np.float32)
+        colors = np.zeros((len(poses), 3), np.float32)
+    else:
+        poses, tstamps, points, colors = run(
+            config_VO, params, eval_cfg, data_list
+        )
     used = img_timestamps[: len(poses)] if len(img_timestamps) >= len(poses) \
         else np.arange(len(poses), dtype=float)
     traj_est = eu.est_trajectory(poses, used)
@@ -169,6 +182,7 @@ def evaluate(net, trials=1, downsample_fact=1, config_VO=None, eval_cfg=None,
             ate, rot, traj_est, ref, (points, colors) = evaluate_sequence(
                 config_VO, params, eval_cfg, data_list, traj_ref,
                 used_ts[frame_indices] if len(frame_indices) else used_ts,
+                use_pose_pred=test_.get("use_pose_pred", False),
             )
             print(f"\n {scene_name} trial {j}: ate={ate:.4f} rot={rot}")
             eu.save_stamped_trajectories(
@@ -221,3 +235,38 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def run_pose_pred(config_VO, params, eval_cfg, data_list, t_horizon_to_pred,
+                  t_to_pred, deg_approx=4):
+    """Pose-prediction evaluation mode (ref: evaluate.py:184-229): run the
+    SLAM up to t_to_pred, then extrapolate the remaining horizon with the
+    spline predictor instead of ingesting frames."""
+    import jax.numpy as jnp
+
+    train_cfg = eval_cfg["data_loader"]["train"]["args"]
+    d0 = data_list[0]
+    H, W = d0["image"].shape[1:3]
+    slam = RampVO(
+        config_VO, params, input_mode=train_cfg["input_mode"],
+        num_event_bins=train_cfg["num_event_bins"], ht=H, wd=W,
+        event_bias=train_cfg.get("event_bias", True),
+    )
+    last_kf = 0
+    for t, d in enumerate(data_list):
+        if t < t_to_pred or t_to_pred < 0:
+            slam(t, jnp.asarray(d["events"]), jnp.asarray(d["image"]),
+                 d["mask"], d["intrinsics"])
+            last_kf = int(slam.state.n)
+        if t == t_to_pred and t_to_pred > 0:
+            slam.final_refinement(12)
+        if t >= t_to_pred and t_to_pred > 0:
+            slam.predict_future_pose(
+                sec_to_pred_future=t - t_to_pred, abs_time=t,
+                last_keyframe_number=last_kf, deg=deg_approx,
+            )
+        if t == t_to_pred + t_horizon_to_pred:
+            break
+
+    slam.final_refinement(12)
+    return slam.terminate()

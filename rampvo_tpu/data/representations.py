@@ -20,6 +20,12 @@ class EventToStack:
         self.num_bins = num_bins
 
     def __call__(self, events: Events) -> np.ndarray:
+        from . import native
+
+        fast = native.event_stack(events, self.num_bins)
+        if fast is not None:
+            return fast
+
         grid = np.zeros((self.num_bins, events.height, events.width), np.float32)
         n = len(events)
         if n < 2:
@@ -43,6 +49,13 @@ class EventsToVoxelGrid:
 
     def __call__(self, events: Events) -> np.ndarray:
         B, H, W = self.num_bins, events.height, events.width
+
+        from . import native
+
+        fast = native.voxel_grid(events, B)
+        if fast is not None:
+            return self._normalize(fast) if self.normalize else fast
+
         grid = np.zeros((B * H * W,), np.float32)
         n = len(events)
         if n == 0:
@@ -68,11 +81,13 @@ class EventsToVoxelGrid:
             grid, xs[ok] + ys[ok] * W + (tl[ok] + 1) * W * H, pols[ok] * dts[ok]
         )
         grid = grid.reshape(B, H, W)
+        return self._normalize(grid) if self.normalize else grid
 
-        if self.normalize:
-            nz = grid != 0
-            if nz.any():
-                mean = grid[nz].mean()
-                std = grid[nz].std()
-                grid[nz] = (grid[nz] - mean) / std if std > 0 else grid[nz] - mean
+    @staticmethod
+    def _normalize(grid: np.ndarray) -> np.ndarray:
+        nz = grid != 0
+        if nz.any():
+            mean = grid[nz].mean()
+            std = grid[nz].std()
+            grid[nz] = (grid[nz] - mean) / std if std > 0 else grid[nz] - mean
         return grid

@@ -476,6 +476,9 @@ class RampVO:
         self.vonet = VONet(input_mode=input_mode, evs_ch=num_event_bins, img_ch=3)
         self.ht, self.wd = ht, wd
         self.tlist: list = []
+        # pose-prediction caches (ref: Ramp_vo.py:34-35)
+        self._pp_tracks = None
+        self._pp_models = None
 
         if input_mode == "SingleScale":
             enc_state = SingleScaleEncoder.init_state(ht, wd)
@@ -500,6 +503,16 @@ class RampVO:
         self.state = self._vo_frame(
             self.params, self.state, events, image, jnp.asarray(mask),
             jnp.asarray(intrinsics, jnp.float32),
+        )
+
+    def predict_future_pose(self, sec_to_pred_future, abs_time,
+                            last_keyframe_number, deg=4, frequency=30.0):
+        """Spline-based future-pose extrapolation (ref: Ramp_vo.py:446-514)."""
+        from .pose_prediction import predict_future_pose
+
+        return predict_future_pose(
+            self, sec_to_pred_future, abs_time, last_keyframe_number,
+            deg=deg, frequency=frequency,
         )
 
     def final_refinement(self, iters: int = 12):

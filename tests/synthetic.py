@@ -109,6 +109,22 @@ def write_scene(root: str, n_frames=10, H=60, W=80, seed=0):
             f"  intrinsics: [{fx}, {fy}, {cx}, {cy}]\n"
             f"  resolution: [{W}, {H}]\n"
         )
+
+    # depths (constant plane at Z=2; stored pre-DEPTH_SCALE like TartanAir)
+    os.makedirs(osp.join(root, "depth_left"), exist_ok=True)
+    for i in range(n_frames):
+        np.save(
+            osp.join(root, "depth_left", f"{i:06d}_left_depth.npy"),
+            np.full((H, W), 2.0 * 5.0, np.float32),
+        )
+
+    # per-frame event index ranges
+    from rampvo_tpu.data.tartan import precompute_event_indices
+
+    precompute_event_indices(
+        osp.join(root, "events.h5"), osp.join(root, "timestamps.txt"),
+        num_events=600, indices_file=osp.join(root, "indices.txt"),
+    )
     return root, intr
 
 
