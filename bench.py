@@ -67,14 +67,15 @@ def main():
     for i in range(n_warm):
         ev, im = frame(i)
         state = vo_frame(params, state, ev, im, mask, intr)
-    jax.block_until_ready(state.poses)
+    float(jnp.sum(state.poses[:8]))  # force full device completion
 
-    # steady state timing
+    # steady state timing (ends with a genuine value fetch: on remote-TPU
+    # backends block_until_ready alone does not fence execution)
     frames = [frame(n_warm + i) for i in range(args.frames)]
     t0 = time.perf_counter()
     for ev, im in frames:
         state = vo_frame(params, state, ev, im, mask, intr)
-    jax.block_until_ready(state.poses)
+    float(jnp.sum(state.poses[:8]))
     dt = time.perf_counter() - t0
 
     fps = args.frames / dt

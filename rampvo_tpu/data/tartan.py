@@ -120,6 +120,8 @@ class TartanEventDataset:
             if len(images) != len(depths) or not images:
                 continue
             poses = np.loadtxt(osp.join(scene, "pose_left.txt"), delimiter=" ")
+            if len(poses) == len(images) + 1:
+                poses = poses[1:]  # leading row is the frame-0 duplicate
             poses = poses[:, NED_TO_XYZ_PERM]
             poses[:, :3] /= DEPTH_SCALE
             intrinsics = [self.calib_read()] * len(images)

@@ -53,26 +53,30 @@ def _kernel(slot_of_block, fmap_hbm, g_ref, ty_ref, tx_ref, oy_ref, xb_ref,
         cp.start()
         cp.wait()
 
-    def edge(e, carry):
-        tile = scratch[
-            pl.ds(ty_ref[0, e, 0], TY),
-            pl.ds(pl.multiple_of(tx_ref[0, e, 0], 8), TX), :
-        ]
-        dm = jnp.dot(
-            tile.reshape(TY * TX, C).astype(jnp.float32),
-            g_ref[e].astype(jnp.float32),
-            preferred_element_type=jnp.float32,
-        )  # [TY*TX, PP]
-        dm_scratch[...] = dm.reshape(TY, TX, PP)
-        for q in range(PP):  # unrolled
-            band = dm_scratch[
-                pl.ds(oy_ref[0, e, q], D),
-                pl.ds(pl.multiple_of(xb_ref[0, e, q], 8), BAND), q
+    UNROLL = 4
+
+    def edge_group(i, carry):
+        for u in range(UNROLL):  # amortize loop/addressing overhead
+            e = i * UNROLL + u
+            tile = scratch[
+                pl.ds(ty_ref[0, e, 0], TY),
+                pl.ds(pl.multiple_of(tx_ref[0, e, 0], 8), TX), :
             ]
-            out_ref[e, q] = band  # [D, BAND]
+            dm = jnp.dot(
+                tile.reshape(TY * TX, C),
+                g_ref[e],
+                preferred_element_type=jnp.float32,
+            )  # [TY*TX, PP]
+            dm_scratch[...] = dm.reshape(TY, TX, PP)
+            for q in range(PP):  # unrolled
+                band = dm_scratch[
+                    pl.ds(oy_ref[0, e, q], D),
+                    pl.ds(pl.multiple_of(xb_ref[0, e, q], 8), BAND), q
+                ]
+                out_ref[e, q] = band.astype(out_ref.dtype)  # [D, BAND]
         return carry
 
-    jax.lax.fori_loop(0, E_BLK, edge, 0)
+    jax.lax.fori_loop(0, E_BLK // UNROLL, edge_group, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "interpret"))
@@ -178,14 +182,17 @@ def corr_pallas(
                 pltpu.SemaphoreType.DMA,
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((E_pad, PP, D, BAND), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (E_pad, PP, D, BAND), jnp.bfloat16
+        ),  # the reference's inference corr is fp16 (Ramp_vo.py autocast)
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
     )(blk_slot, fpad, g_p, ty_p, tx_p, oy_p, xb_p)
 
-    band = jnp.zeros((E, PP, D, BAND), jnp.float32).at[order].set(band_p[pos])
+    # single-gather unsort: row for original edge i lives at pos[argsort(order)][i]
+    band = band_p[pos[jnp.argsort(order)]].astype(jnp.float32)
 
     # x-remainder extraction: one-hot over the 16-band -> D columns
     sel = (

@@ -28,6 +28,10 @@ class VOConfig:
     # gate (every frame committed) — used by benchmarks/synthetic tests
     PROBE_THRESH: float = 2.0
 
+    # correlation kernel: "auto" = Pallas MXU kernel on TPU, exact XLA
+    # tile-gather elsewhere; "xla" / "pallas" force one implementation
+    CORR_IMPL: str = "auto"
+
     # TPU-native capacities (not in the reference; sized from its dynamics)
     MAX_FRAMES: int = 4096       # global frame-id capacity (>= total frames)
     MEM: int = 32                # feature ring depth (Ramp_vo.py:72)

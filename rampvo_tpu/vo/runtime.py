@@ -35,7 +35,8 @@ from ..models.vonet import (
     select_coords_event_bias,
     select_coords_random,
 )
-from ..ops.corr import avg_pool2d, corr as corr_op, corr_stack
+from ..ops.corr import avg_pool2d, corr as corr_xla, corr_stack
+from ..ops.corr_pallas import corr_pallas
 from .config import VOConfig
 from .state import VOState, init_state
 
@@ -150,6 +151,12 @@ def _edge_corr_ctx(cfg: VOConfig, state: VOState, ii, jj, kk):
     slot_j = jnp.clip(state.slotmap[jnp.clip(jj, 0, L - 1)], 0, MEM - 1)
 
     gmap_flat = state.gmap_r.reshape(MEM * M, P, P, 128)
+    impl = cfg.CORR_IMPL
+    if impl == "auto":
+        import jax as _jax
+
+        impl = "pallas" if _jax.default_backend() == "tpu" else "xla"
+    corr_op = corr_pallas if impl == "pallas" else corr_xla
     c1 = corr_op(gmap_flat, state.fmap1_r, coords, gidx, slot_j, 3)
     c2 = corr_op(gmap_flat, state.fmap2_r, coords / 4.0, gidx, slot_j, 3)
     corr_in = corr_stack(c1, c2).astype(jnp.float32)
@@ -277,23 +284,31 @@ def _keyframe(cfg: VOConfig, state: VOState) -> VOState:
     i = n - cfg.KEYFRAME_INDEX - 1
     j = n - cfg.KEYFRAME_INDEX + 1
 
-    # motion magnitude between logical frames i and j (both directions)
-    poses_i = state.poses[jnp.clip(state.l2g[jnp.clip(state.ii, 0, L - 1)], 0, F - 1)]
-    poses_j = state.poses[jnp.clip(state.l2g[jnp.clip(state.jj, 0, L - 1)], 0, F - 1)]
-    rows = jnp.clip(_patch_rows(state, state.kk, M), 0, F * M - 1)
-    flow = flow_mag_edges(
-        poses_i, poses_j, state.patches[rows], state.intrinsics, beta=0.5
-    ).mean(axis=(-1, -2))
+    # motion magnitude between logical frames i and j (both directions).
+    # only edges with matching endpoints matter — at most M per direction —
+    # so gather those instead of transforming the whole table
+    E_cap = state.ii.shape[0]
 
-    def masked_mean(sel):
-        sel = sel & state.e_valid
-        w = sel.astype(flow.dtype)
+    def masked_mean(a, b):
+        sel = state.e_valid & (state.ii == a) & (state.jj == b)
+        (idx,) = jnp.nonzero(sel, size=M, fill_value=E_cap)
+        ok = idx < E_cap
+        idc = jnp.clip(idx, 0, E_cap - 1)
+        ii_s, jj_s, kk_s = state.ii[idc], state.jj[idc], state.kk[idc]
+        poses_i = state.poses[
+            jnp.clip(state.l2g[jnp.clip(ii_s, 0, L - 1)], 0, F - 1)
+        ]
+        poses_j = state.poses[
+            jnp.clip(state.l2g[jnp.clip(jj_s, 0, L - 1)], 0, F - 1)
+        ]
+        rows = jnp.clip(_patch_rows(state, kk_s, M), 0, F * M - 1)
+        flow = flow_mag_edges(
+            poses_i, poses_j, state.patches[rows], state.intrinsics, beta=0.5
+        ).mean(axis=(-1, -2))
+        w = ok.astype(flow.dtype)
         return jnp.sum(flow * w) / jnp.maximum(jnp.sum(w), 1.0)
 
-    m = 0.5 * (
-        masked_mean((state.ii == i) & (state.jj == j))
-        + masked_mean((state.ii == j) & (state.jj == i))
-    )
+    m = 0.5 * (masked_mean(i, j) + masked_mean(j, i))
     evict = m < cfg.KEYFRAME_THRESH
     k = n - cfg.KEYFRAME_INDEX
 
