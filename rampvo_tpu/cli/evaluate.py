@@ -89,11 +89,7 @@ def run(config_VO: VOConfig, params, eval_cfg, data_list,
 
     slam.final_refinement(final_iters)
     poses, tstamps = slam.terminate()
-
-    st = slam.state
-    m = int(st.counter) * config_VO.M
-    colors = np.asarray(st.colors).reshape(-1, 3)[:m]
-    points = np.zeros((m, 3), np.float32)  # point cloud export optional
+    points, colors = slam.point_cloud()
     return poses, tstamps, points, colors
 
 

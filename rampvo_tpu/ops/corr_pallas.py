@@ -215,3 +215,211 @@ def corr_pallas(
     )
     out = jnp.swapaxes(out[..., None], -2, -3)[..., 0]
     return out.reshape(E, P, P, d * d)
+
+
+def _kernel2(slot_of_block, fmap1_hbm, fmap2_hbm, g_ref, scal_ref,
+             out1_ref, out2_ref, scratch1, scratch2, dm_scratch, sem1, sem2,
+             *, C, PP, D):
+    """Both pyramid levels per edge: shared slot-DMA trigger, g load and
+    loop overhead (the per-iteration cost dominates this kernel)."""
+    b = pl.program_id(0)
+    slot = slot_of_block[b]
+    prev = slot_of_block[jnp.maximum(b - 1, 0)]
+    need = jnp.logical_or(b == 0, slot != prev)
+
+    @pl.when(need)
+    def _load():
+        cp1 = pltpu.make_async_copy(fmap1_hbm.at[slot], scratch1, sem1)
+        cp2 = pltpu.make_async_copy(fmap2_hbm.at[slot], scratch2, sem2)
+        cp1.start()
+        cp2.start()
+        cp1.wait()
+        cp2.wait()
+
+    UNROLL = 4
+
+    # packed scalar layout per edge (see corr_pallas2):
+    # [0]=ty1 [1]=tx1 [2]=ty2 [3]=tx2 [4:13]=oy1 [13:22]=xb1
+    # [22:31]=oy2 [31:40]=xb2
+    def level(scratch, off, e, g, out_ref):
+        tile = scratch[
+            pl.ds(scal_ref[0, e, 0 + off], TY),
+            pl.ds(pl.multiple_of(scal_ref[0, e, 1 + off], 8), TX), :
+        ]
+        dm = jnp.dot(
+            tile.reshape(TY * TX, C), g, preferred_element_type=jnp.float32
+        )
+        dm_scratch[...] = dm.reshape(TY, TX, PP)
+        base = 4 + (off // 2) * 2 * PP
+        for q in range(PP):
+            band = dm_scratch[
+                pl.ds(scal_ref[0, e, base + q], D),
+                pl.ds(pl.multiple_of(scal_ref[0, e, base + PP + q], 8), BAND),
+                q,
+            ]
+            out_ref[e, q] = band.astype(out_ref.dtype)
+
+    def edge_group(i, carry):
+        for u in range(UNROLL):
+            e = i * UNROLL + u
+            g = g_ref[e]
+            level(scratch1, 0, e, g, out1_ref)
+            level(scratch2, 2, e, g, out2_ref)
+        return carry
+
+    jax.lax.fori_loop(0, E_BLK // UNROLL, edge_group, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "interpret"))
+def corr_pallas2(
+    gmap: jnp.ndarray,     # [Mg, P, P, C]
+    fmap1: jnp.ndarray,    # [MEM, H, W, C]   level-1 ring
+    fmap2: jnp.ndarray,    # [MEM, H//4, W//4, C] level-2 ring
+    coords: jnp.ndarray,   # [E, P, P, 2]     level-1 coords
+    ii: jnp.ndarray,
+    jj: jnp.ndarray,
+    radius: int = 3,
+    interpret: bool = False,
+):
+    """Two-level correlation in one kernel pass (level-2 coords = coords/4,
+    matching ramp/Ramp_vo.py:180-182). Returns (corr1, corr2)."""
+    E, P, _, _ = coords.shape
+    MEM, H1, W1, C = fmap1.shape
+    _, H2, W2, _ = fmap2.shape
+    R = radius
+    D = 2 * R + 2
+    PP = P * P
+    pad = 3 * D
+
+    jj = jnp.clip(jj, 0, MEM - 1).astype(jnp.int32)
+    order = jnp.argsort(jj)
+    jj_s = jj[order]
+    counts = jax.ops.segment_sum(jnp.ones_like(jj), jj, num_segments=MEM)
+    group_start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
+    )
+    rank = jnp.arange(E, dtype=jnp.int32) - group_start[jj_s]
+    padded_counts = ((counts + E_BLK - 1) // E_BLK) * E_BLK
+    padded_start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32),
+         jnp.cumsum(padded_counts)[:-1].astype(jnp.int32)]
+    )
+    pos = padded_start[jj_s] + rank
+
+    E_pad = int(np.ceil(E / E_BLK) * E_BLK) + MEM * E_BLK
+    NB = E_pad // E_BLK
+    blk_slot = jnp.clip(
+        jnp.searchsorted(
+            padded_start, jnp.arange(NB, dtype=jnp.int32) * E_BLK, side="right"
+        ).astype(jnp.int32) - 1,
+        0, MEM - 1,
+    )
+    unsort = pos[jnp.argsort(order)]
+
+    def level_prep(c, H, W):
+        x = c[..., 0]
+        y = c[..., 1]
+        x0 = jnp.floor(x).astype(jnp.int32)
+        y0 = jnp.floor(y).astype(jnp.int32)
+        sy = jnp.clip(y0, -D, H + D) - R + pad
+        sx = jnp.clip(x0, -D, W + D) - R + pad
+        ty = sy[:, P // 2, P // 2] - SPREAD
+        tx = ((sx[:, P // 2, P // 2] - SPREAD) // 8) * 8
+        oy = sy - ty[:, None, None]
+        ox = sx - tx[:, None, None]
+        ok = (oy >= 0) & (oy <= TY - D) & (ox >= 0) & (ox <= TX - D)
+        oy = jnp.clip(oy, 0, TY - D)
+        ox = jnp.clip(ox, 0, TX - D)
+        xb = jnp.clip((ox // 8) * 8, 0, TX - BAND)
+        rem = ox - xb
+        return x, y, x0, y0, ty, tx, oy, xb, rem, ok
+
+    prep1 = level_prep(coords, H1, W1)
+    prep2 = level_prep(coords / 4.0, H2, W2)
+
+    g = jnp.swapaxes(jnp.take(gmap, ii, axis=0).reshape(E, PP, C), 1, 2)
+
+    def pad_scatter(arr):
+        out = jnp.zeros((E_pad,) + arr.shape[1:], arr.dtype)
+        return out.at[pos].set(arr[order])
+
+    g_p = pad_scatter(g)
+
+    def level_cols(prep):
+        _, _, _, _, ty, tx, oy, xb, _, _ = prep
+        return ty, tx, oy.reshape(E, PP), xb.reshape(E, PP)
+
+    ty1, tx1, oy1, xb1 = level_cols(prep1)
+    ty2, tx2, oy2, xb2 = level_cols(prep2)
+    # one packed SMEM operand (each SMEM window costs a fixed ~128KB slot)
+    scal = jnp.concatenate(
+        [ty1[:, None], tx1[:, None], ty2[:, None], tx2[:, None],
+         oy1, xb1, oy2, xb2], axis=1,
+    ).astype(jnp.int32)
+    scal_p = pad_scatter(scal).reshape(NB, E_BLK, 4 + 4 * PP)
+
+    fpad1 = jnp.pad(fmap1, ((0, 0), (pad, pad), (pad, pad + 16), (0, 0)))
+    fpad2 = jnp.pad(fmap2, ((0, 0), (pad, pad), (pad, pad + 16), (0, 0)))
+    Hp1, Wp1 = fpad1.shape[1], fpad1.shape[2]
+    Hp2, Wp2 = fpad2.shape[1], fpad2.shape[2]
+
+    smem = lambda shp: pl.BlockSpec(
+        (1,) + shp, lambda b, sob: (b,) + (0,) * len(shp),
+        memory_space=pltpu.SMEM,
+    )
+    band1, band2 = pl.pallas_call(
+        functools.partial(_kernel2, C=C, PP=PP, D=D),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(NB,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((E_BLK, C, PP), lambda b, sob: (b, 0, 0)),
+                smem((E_BLK, 4 + 4 * PP)),
+            ],
+            out_specs=[
+                pl.BlockSpec((E_BLK, PP, D, BAND), lambda b, sob: (b, 0, 0, 0)),
+                pl.BlockSpec((E_BLK, PP, D, BAND), lambda b, sob: (b, 0, 0, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((Hp1, Wp1, C), fmap1.dtype),
+                pltpu.VMEM((Hp2, Wp2, C), fmap2.dtype),
+                pltpu.VMEM((TY, TX, PP), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((E_pad, PP, D, BAND), jnp.bfloat16),
+            jax.ShapeDtypeStruct((E_pad, PP, D, BAND), jnp.bfloat16),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(blk_slot, fpad1, fpad2, g_p, scal_p)
+
+    def finish(band_p, prep):
+        x, y, x0, y0, _, _, _, _, rem, ok = prep
+        band = band_p[unsort].astype(jnp.float32)
+        sel = (
+            rem.reshape(E, PP)[:, :, None, None]
+            + jnp.arange(D)[None, None, :, None]
+            == jnp.arange(BAND)[None, None, None, :]
+        ).astype(band.dtype)
+        vol = jnp.einsum("eqbx,eqax->eqab", sel, band).reshape(E, P, P, D, D)
+        vol = vol * ok.reshape(E, P, P)[..., None, None].astype(vol.dtype)
+        fx = (x - x0.astype(jnp.float32))[..., None, None]
+        fy = (y - y0.astype(jnp.float32))[..., None, None]
+        d = 2 * R + 1
+        out = (
+            (1 - fy) * (1 - fx) * vol[..., :d, :d]
+            + (1 - fy) * fx * vol[..., :d, 1:]
+            + fy * (1 - fx) * vol[..., 1:, :d]
+            + fy * fx * vol[..., 1:, 1:]
+        )
+        out = jnp.swapaxes(out[..., None], -2, -3)[..., 0]
+        return out.reshape(E, P, P, d * d)
+
+    return finish(band1, prep1), finish(band2, prep2)

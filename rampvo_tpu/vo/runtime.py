@@ -36,7 +36,7 @@ from ..models.vonet import (
     select_coords_random,
 )
 from ..ops.corr import avg_pool2d, corr as corr_xla, corr_stack
-from ..ops.corr_pallas import corr_pallas
+from ..ops.corr_pallas import corr_pallas2
 from .config import VOConfig
 from .state import VOState, init_state
 
@@ -156,9 +156,13 @@ def _edge_corr_ctx(cfg: VOConfig, state: VOState, ii, jj, kk):
         import jax as _jax
 
         impl = "pallas" if _jax.default_backend() == "tpu" else "xla"
-    corr_op = corr_pallas if impl == "pallas" else corr_xla
-    c1 = corr_op(gmap_flat, state.fmap1_r, coords, gidx, slot_j, 3)
-    c2 = corr_op(gmap_flat, state.fmap2_r, coords / 4.0, gidx, slot_j, 3)
+    if impl == "pallas":
+        c1, c2 = corr_pallas2(
+            gmap_flat, state.fmap1_r, state.fmap2_r, coords, gidx, slot_j, 3
+        )
+    else:
+        c1 = corr_xla(gmap_flat, state.fmap1_r, coords, gidx, slot_j, 3)
+        c2 = corr_xla(gmap_flat, state.fmap2_r, coords / 4.0, gidx, slot_j, 3)
     corr_in = corr_stack(c1, c2).astype(jnp.float32)
 
     ctx = state.imap_r.reshape(MEM * M, -1)[gidx].astype(jnp.float32)
@@ -533,6 +537,35 @@ class RampVO:
     def final_refinement(self, iters: int = 12):
         del iters  # fixed at build time
         self.state = self._final(self.params, self.state)
+
+    def point_cloud(self):
+        """World-space patch-center point cloud + colors for export
+        (ref: Ramp_vo.py:308-310, evaluate.py:256-258). [m, 3] each."""
+        import jax.numpy as jnp
+
+        st = self.state
+        cfg = self.cfg
+        m = int(st.counter) * cfg.M
+        g = jnp.arange(int(st.counter))
+        poses = st.poses[g]  # world-to-camera per global frame
+        patches = st.patches[: m].reshape(int(st.counter), cfg.M, 3, 3, 3)
+        centers = patches[:, :, :, 1, 1]  # [n, M, 3] (x, y, invdepth)
+
+        fx, fy, cx, cy = st.intrinsics
+        X0 = jnp.stack(
+            [
+                (centers[..., 0] - cx) / fx,
+                (centers[..., 1] - cy) / fy,
+                jnp.ones_like(centers[..., 2]),
+                centers[..., 2],
+            ],
+            axis=-1,
+        )
+        Ginv = lops.se3_inv(poses)
+        X1 = lops.se3_act4(Ginv[:, None, :], X0)
+        pts = X1[..., :3] / jnp.maximum(X1[..., 3:], 1e-8)
+        colors = np.asarray(st.colors[: int(st.counter)]).reshape(-1, 3)
+        return np.asarray(pts).reshape(-1, 3), colors
 
     def terminate(self):
         """Interpolate removed/skipped frames through the delta chain and
