@@ -5,6 +5,7 @@ produces channels-last arrays ready for `jax.device_put`.
 """
 
 from .events import Events
+from .event_sequence import EventSequence
 from .event_handle import H5EventHandle
 from .representations import EventToStack, EventsToVoxelGrid
 from .loader import (
@@ -15,6 +16,7 @@ from .loader import (
 
 __all__ = [
     "Events",
+    "EventSequence",
     "H5EventHandle",
     "EventToStack",
     "EventsToVoxelGrid",
