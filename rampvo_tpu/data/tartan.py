@@ -210,11 +210,14 @@ class TartanEventDataset:
         return np.transpose(rep, (1, 2, 0)).astype(np.float32)
 
     def load_window(self, index):
-        """(ref: TartanEvent.py:245-325, default chunked import mode)"""
+        """(ref: TartanEvent.py:245-325; both importing modes)"""
         inds, scene_id = self.get_indices_to_load(index)
         info = self.scene_info[scene_id]
         event = H5EventHandle.from_path(Path(info["events"]))
         i1 = self.i1[scene_id]
+
+        if self.events_importing_mode == "all_events_all_images":
+            return self._load_all_events_all_images(inds, info, event, i1)
 
         images, depths, poses, intrinsics = [], [], [], []
         events, mask = [], []
@@ -253,6 +256,43 @@ class TartanEventDataset:
         events = np.stack(events)
         mask = np.asarray(mask, bool)
         return events, images, poses, disps, intrinsics, mask
+
+    def _load_all_events_all_images(self, inds, info, event, i1):
+        """Equal-split inter-frame event streams into n_events_in_between+1
+        chunks, supervising the last of each (ref: TartanEvent.py:263-290)."""
+        images, depths, poses, intrinsics = [], [], [], []
+        events, mask = [], []
+        n_loaded = 0
+        for index_f in range(min(inds), max(inds) + 1):
+            if index_f < 1:
+                continue
+            stream = i1[index_f] - i1[index_f - 1]
+            seg = max(stream // (self.n_events_in_between + 1), 1)
+            for c in range(self.n_events_in_between + 1):
+                first = i1[index_f - 1] + seg * c
+                events.append(self._event_tensor(event, first, first + seg))
+                mask.append(c == self.n_events_in_between)
+            images.append(image_read(info["images"][index_f]).astype(np.float32))
+            depths.append(depth_read(info["depths"][index_f]))
+            poses.append(info["poses"][index_f])
+            intrinsics.append(info["intrinsics"][index_f])
+            n_loaded += 1
+            if n_loaded == self.n_frames:
+                break
+        while n_loaded < self.n_frames:  # degenerate tiny windows: repeat
+            images.append(images[-1])
+            depths.append(depths[-1])
+            poses.append(poses[-1])
+            intrinsics.append(intrinsics[-1])
+            events.append(np.zeros_like(events[-1]))
+            mask.append(True)
+            n_loaded += 1
+
+        return (
+            np.stack(events), np.stack(images),
+            np.stack(poses).astype(np.float32), 1.0 / np.stack(depths),
+            np.stack(intrinsics).astype(np.float32), np.asarray(mask, bool),
+        )
 
     def __len__(self):
         return max(len(self.dataset_index) - 1, 0)

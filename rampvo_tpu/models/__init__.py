@@ -6,9 +6,10 @@ ramp/blocks.py) with TPU-native layouts: channels-last (NHWC) feature maps,
 recurrent state (no module-held mutable hidden states).
 """
 
-from .blocks import GatedResidual, SoftAgg, grad_clip
+from .blocks import GatedResidual, LayerNorm1D, SoftAgg, SoftAggBasic, grad_clip, grad_zero
 from .encoders import (
     BasicEncoder4,
+    ConvLSTMCell,
     LSTMEncoder,
     MultiScaleBasicEncoder4,
     MultiScaleEncoder,
@@ -18,12 +19,17 @@ from .encoders import (
     SuperStateEncoder,
 )
 from .update import Update
-from .vonet import VONet, Patchifier
+from .vonet import CorrBlock, VONet, Patchifier
 
 __all__ = [
     "GatedResidual",
+    "LayerNorm1D",
     "SoftAgg",
+    "SoftAggBasic",
     "grad_clip",
+    "grad_zero",
+    "ConvLSTMCell",
+    "CorrBlock",
     "ResidualBlock",
     "BasicEncoder4",
     "MultiScaleBasicEncoder4",

@@ -87,3 +87,35 @@ class SoftAgg(nn.Module):
         w = segment_softmax(g(x), jx, num_segments=E, valid=valid)
         y = segment_sum(f(x) * w, jx, num_segments=E, valid=valid)
         return h(y)[jx]
+
+
+class SoftAggBasic(nn.Module):
+    """SoftAgg variant with a scalar attention logit
+    (ref: ramp/blocks.py:52-69)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x, ix, valid=None):
+        E = x.shape[0]
+        f = nn.Dense(self.dim, name="f")
+        g = nn.Dense(1, name="g")
+        h = nn.Dense(self.dim, name="h")
+
+        jx = compact_ids(ix.astype(jnp.int32), capacity=E)
+        w = segment_softmax(g(x), jx, num_segments=E, valid=valid)
+        y = segment_sum(f(x) * w, jx, num_segments=E, valid=valid)
+        return h(y)[jx]
+
+
+class LayerNorm1D(nn.Module):
+    """LayerNorm over the channel dim of [B, C, L] inputs
+    (ref: ramp/blocks.py:7-13)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = jnp.swapaxes(x, -1, -2)
+        x = nn.LayerNorm(epsilon=1e-4)(x)
+        return jnp.swapaxes(x, -1, -2)

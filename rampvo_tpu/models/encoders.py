@@ -397,3 +397,31 @@ class MultiScaleEncoder(nn.Module):
             Ws = (W + 2 - (s + 1)) // s + 1 if s > 1 else W
             ss.append(jnp.zeros((Hs, Ws, lstm_dim * s), dtype))
         return {"ss": ss}
+
+
+class ConvLSTMCell(nn.Module):
+    """Convolutional LSTM cell (ref: extractor.py:133-184 — present in the
+    reference as an unused alternative to the pixel-wise LSTM; provided for
+    API parity and experimentation). x [H, W, Cin], state ((h, c)) each
+    [H, W, hidden]."""
+
+    hidden: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, x, state=None):
+        H, W, _ = x.shape
+        if state is None:
+            z = jnp.zeros((H, W, self.hidden), x.dtype)
+            state = (z, z)
+        h, c = state
+        gates = nn.Conv(
+            4 * self.hidden,
+            (self.kernel_size, self.kernel_size),
+            padding=self.kernel_size // 2,
+            name="Gates",
+        )(jnp.concatenate([x, h], axis=-1))
+        i, f, o, g = jnp.split(gates, 4, axis=-1)
+        c = nn.sigmoid(f) * c + nn.sigmoid(i) * jnp.tanh(g)
+        h = nn.sigmoid(o) * jnp.tanh(c)
+        return h, (h, c)

@@ -212,3 +212,30 @@ def filter_features(confidences, target, data_shape):
         & (target[..., 1] <= ht)
     )
     return confidences * ok[..., None].astype(confidences.dtype)
+
+
+class CorrBlock:
+    """Training-time 2-level correlation closure (ref: net.py:206-229).
+
+    fmap [N, h, w, C] per-frame features, gmap [N*M, P, P, C] patch
+    features; __call__(kk, jj, coords) -> [E, 2*49*P*P] stacked volume.
+    """
+
+    def __init__(self, fmap, gmap, radius: int = 3, levels=(1, 4)):
+        from ..ops.corr import corr_stack, pyramidify
+        from ..ops.corr import corr as _corr
+
+        self.radius = radius
+        self.levels = levels
+        self.gmap = gmap
+        self.pyramid = pyramidify(fmap, lvls=levels)
+        self._corr = _corr
+        self._stack = corr_stack
+
+    def __call__(self, kk, jj, coords):
+        vols = [
+            self._corr(self.gmap, self.pyramid[i], coords / lvl, kk, jj,
+                       self.radius)
+            for i, lvl in enumerate(self.levels)
+        ]
+        return self._stack(*vols)
