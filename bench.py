@@ -70,13 +70,16 @@ def main():
     float(jnp.sum(state.poses[:8]))  # force full device completion
 
     # steady state timing (ends with a genuine value fetch: on remote-TPU
-    # backends block_until_ready alone does not fence execution)
+    # backends block_until_ready alone does not fence execution). Two passes,
+    # best taken: the TPU terminal is shared and single passes are noisy.
     frames = [frame(n_warm + i) for i in range(args.frames)]
-    t0 = time.perf_counter()
-    for ev, im in frames:
-        state = vo_frame(params, state, ev, im, mask, intr)
-    float(jnp.sum(state.poses[:8]))
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for ev, im in frames:
+            state = vo_frame(params, state, ev, im, mask, intr)
+        float(jnp.sum(state.poses[:8]))
+        dt = min(dt, time.perf_counter() - t0)
 
     fps = args.frames / dt
     print(

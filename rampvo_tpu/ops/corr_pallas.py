@@ -34,6 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 E_BLK = 128
+GANG = 4            # edges per fused MXU matmul in the 2-level kernel
 SPREAD = 4            # max |patch pixel - center| handled exactly (px)
 TY = 16               # tile rows: D + 2*SPREAD
 TX = 32               # tile cols: D + 2*SPREAD + 8-alignment slack
@@ -218,10 +219,16 @@ def corr_pallas(
 
 
 def _kernel2(slot_of_block, fmap1_hbm, fmap2_hbm, g_ref, scal_ref,
-             out1_ref, out2_ref, scratch1, scratch2, dm_scratch, sem1, sem2,
-             *, C, PP, D):
-    """Both pyramid levels per edge: shared slot-DMA trigger, g load and
-    loop overhead (the per-iteration cost dominates this kernel)."""
+             out1_ref, out2_ref, scratch1, scratch2, tile_scratch, g_scratch,
+             dm_scratch, sem1, sem2, *, C, PP, D):
+    """Both pyramid levels, GANG edges per iteration.
+
+    A single skinny matmul per window set ([TY*TX, C] x [C, PP]) leaves the
+    MXU latency-bound; instead the tiles of GANG edges x 2 levels are staged
+    into one [GANG*2*TY*TX, C] scratch and multiplied against the
+    concatenated patch features [C, GANG*PP] in ONE pipelined MXU matmul
+    (each edge only consumes its own 9 columns — 4x column redundancy buys
+    full pipelining)."""
     b = pl.program_id(0)
     slot = slot_of_block[b]
     prev = slot_of_block[jnp.maximum(b - 1, 0)]
@@ -236,38 +243,50 @@ def _kernel2(slot_of_block, fmap1_hbm, fmap2_hbm, g_ref, scal_ref,
         cp1.wait()
         cp2.wait()
 
-    UNROLL = 4
-
     # packed scalar layout per edge (see corr_pallas2):
     # [0]=ty1 [1]=tx1 [2]=ty2 [3]=tx2 [4:13]=oy1 [13:22]=xb1
     # [22:31]=oy2 [31:40]=xb2
-    def level(scratch, off, e, g, out_ref):
-        tile = scratch[
-            pl.ds(scal_ref[0, e, 0 + off], TY),
-            pl.ds(pl.multiple_of(scal_ref[0, e, 1 + off], 8), TX), :
-        ]
-        dm = jnp.dot(
-            tile.reshape(TY * TX, C), g, preferred_element_type=jnp.float32
-        )
-        dm_scratch[...] = dm.reshape(TY, TX, PP)
-        base = 4 + (off // 2) * 2 * PP
-        for q in range(PP):
-            band = dm_scratch[
-                pl.ds(scal_ref[0, e, base + q], D),
-                pl.ds(pl.multiple_of(scal_ref[0, e, base + PP + q], 8), BAND),
-                q,
-            ]
-            out_ref[e, q] = band.astype(out_ref.dtype)
+    def edge_gang(i, carry):
+        for u in range(GANG):
+            e = i * GANG + u
+            for lvl, scratch in ((0, scratch1), (1, scratch2)):
+                tile = scratch[
+                    pl.ds(scal_ref[0, e, 2 * lvl], TY),
+                    pl.ds(pl.multiple_of(scal_ref[0, e, 2 * lvl + 1], 8), TX),
+                    :,
+                ]
+                row = (u * 2 + lvl) * TY * TX
+                tile_scratch[pl.ds(row, TY * TX), :] = tile.reshape(
+                    TY * TX, C
+                )
+            g_scratch[:, pl.ds(u * PP, PP)] = g_ref[e]
 
-    def edge_group(i, carry):
-        for u in range(UNROLL):
-            e = i * UNROLL + u
-            g = g_ref[e]
-            level(scratch1, 0, e, g, out1_ref)
-            level(scratch2, 2, e, g, out2_ref)
+        dm = jnp.dot(
+            tile_scratch[...], g_scratch[...],
+            preferred_element_type=jnp.float32,
+        )  # [GANG*2*TY*TX, GANG*PP]
+        dm_scratch[...] = dm.reshape(GANG * 2, TY, TX, GANG * PP).astype(
+            jnp.bfloat16
+        )
+
+        for u in range(GANG):
+            e = i * GANG + u
+            for lvl, out_ref in ((0, out1_ref), (1, out2_ref)):
+                base = 4 + lvl * 2 * PP
+                for q in range(PP):
+                    band = dm_scratch[
+                        u * 2 + lvl,
+                        pl.ds(scal_ref[0, e, base + q], D),
+                        pl.ds(
+                            pl.multiple_of(scal_ref[0, e, base + PP + q], 8),
+                            BAND,
+                        ),
+                        u * PP + q,
+                    ]
+                    out_ref[e, q] = band.astype(out_ref.dtype)
         return carry
 
-    jax.lax.fori_loop(0, E_BLK // UNROLL, edge_group, 0)
+    jax.lax.fori_loop(0, E_BLK // GANG, edge_gang, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "interpret"))
@@ -385,7 +404,9 @@ def corr_pallas2(
             scratch_shapes=[
                 pltpu.VMEM((Hp1, Wp1, C), fmap1.dtype),
                 pltpu.VMEM((Hp2, Wp2, C), fmap2.dtype),
-                pltpu.VMEM((TY, TX, PP), jnp.float32),
+                pltpu.VMEM((GANG * 2 * TY * TX, C), fmap1.dtype),
+                pltpu.VMEM((C, GANG * PP), fmap1.dtype),
+                pltpu.VMEM((GANG * 2, TY, TX, GANG * PP), jnp.bfloat16),
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
             ],

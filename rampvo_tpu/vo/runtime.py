@@ -375,9 +375,24 @@ def make_vo_frame(cfg: VOConfig, vonet: VONet, event_bias: bool = True):
         )
 
     def update_fn(params, net, ctx, corr_in, ii, jj, kk, valid):
-        return vonet.apply(
+        if cfg.MIXED_PRECISION:
+            # inference update runs in half precision like the reference's
+            # fp16 autocast (Ramp_vo.py:23,280-284); outputs restored to f32
+            params = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x,
+                params,
+            )
+            net = net.astype(jnp.bfloat16)
+            ctx = ctx.astype(jnp.bfloat16)
+            corr_in = corr_in.astype(jnp.bfloat16)
+        net2, (delta, weight) = vonet.apply(
             params, net, ctx, corr_in, ii, jj, kk, valid,
             method=VONet.update_op,
+        )
+        return (
+            net2.astype(jnp.float32),
+            (delta.astype(jnp.float32), weight.astype(jnp.float32)),
         )
 
     def vo_frame(params, state: VOState, events, images, mask, intrinsics):
