@@ -110,13 +110,15 @@ def data_loader_all_events(
     for i in range(n_voxels):
         i0, i1 = i1, i1 + n_events_selected
         ev = rep(event.get_between_idx(i0, i1))  # [C, H, W]
-        ev = np.transpose(ev, (1, 2, 0)).astype(np.float32)[None]  # [1, H, W, C]
+        # keep the representation's compact dtype (int8 stacks) for the
+        # host->device transfer; the VO runtime promotes on device
+        ev = np.transpose(ev, (1, 2, 0))[None]  # [1, H, W, C]
 
         frame_ind = frame_of_voxel[i]
         img = np.asarray(Image.open(image_files[frame_ind]))
         if img.ndim == 2:
             img = np.stack([img] * 3, axis=-1)
-        img = normalize_image(img[..., :3], norm_to)[None]  # [1, H, W, 3]
+        img = normalize_image(img[..., :3], norm_to)[None].astype(np.float16)
 
         mask = bool(voxel_of_frame[frame_ind] == i)
         masks.append(mask)

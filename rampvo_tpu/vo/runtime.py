@@ -396,6 +396,10 @@ def make_vo_frame(cfg: VOConfig, vonet: VONet, event_bias: bool = True):
         )
 
     def vo_frame(params, state: VOState, events, images, mask, intrinsics):
+        # inputs may arrive in compact transfer dtypes (int8 stacks,
+        # float16 images) — promote on device
+        events = events.astype(jnp.float32)
+        images = images.astype(jnp.float32)
         fmap, imap, enc2 = encode_fn(params, events, images, mask, state.enc)
         state = state.replace(enc=enc2)
 
@@ -470,6 +474,8 @@ def make_encode_only(cfg: VOConfig, vonet: VONet):
     """Events-only frames: update encoder state, no VO (ref: Ramp_vo.py:338-342)."""
 
     def encode_only(params, state: VOState, events, images, mask):
+        events = events.astype(jnp.float32)
+        images = images.astype(jnp.float32)
         _, _, enc2 = vonet.apply(
             params, events, images, mask, state.enc, 1, method=VONet.encode
         )
