@@ -185,8 +185,9 @@ class PixelLSTM(nn.Module):
 
     @staticmethod
     def initial_carry(H, W, hidden, dtype=jnp.float32):
-        z = jnp.zeros((H, W, hidden), dtype)
-        return (z, z)
+        # two distinct buffers: donated jit arguments may not alias
+        return (jnp.zeros((H, W, hidden), dtype),
+                jnp.zeros((H, W, hidden), dtype))
 
 
 class LSTMEncoder(nn.Module):

@@ -27,8 +27,13 @@ def scene(tmp_path_factory):
     return str(root)
 
 
-def test_evaluate_cli_end_to_end(scene, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("input_mode", ["MultiScale", "SingleScale"])
+def test_evaluate_cli_end_to_end(scene, tmp_path, input_mode):
     eval_cfg = json.loads(json.dumps(synthetic.EVAL_CFG))
+    eval_cfg["data_loader"]["train"]["args"]["input_mode"] = input_mode
     eval_cfg["data_loader"]["test"] = {
         "test_split": [scene],
         "dataset_name": "Synthetic",
@@ -41,7 +46,7 @@ def test_evaluate_cli_end_to_end(scene, tmp_path):
         KEYFRAME_INDEX=2, MIXED_PRECISION=False, PROBE_THRESH=-1.0, MEM=16,
     )
 
-    vonet = VONet(input_mode="MultiScale")
+    vonet = VONet(input_mode=input_mode)
     params = vonet.init(
         jax.random.PRNGKey(0),
         jnp.zeros((1, 480, 640, 5)),
