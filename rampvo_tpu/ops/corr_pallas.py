@@ -377,8 +377,15 @@ def corr_pallas2(
     ).astype(jnp.int32)
     scal_p = pad_scatter(scal).reshape(NB, E_BLK, 4 + 4 * PP)
 
-    fpad1 = jnp.pad(fmap1, ((0, 0), (pad, pad), (pad, pad + 16), (0, 0)))
-    fpad2 = jnp.pad(fmap2, ((0, 0), (pad, pad), (pad, pad + 16), (0, 0)))
+    def padded(fm, H, W):
+        # DMA slice extents must be 8-aligned on the sublane dim
+        hr = (-(H + 2 * pad)) % 8
+        wr = (-(W + 2 * pad + 16)) % 8
+        return jnp.pad(fm, ((0, 0), (pad, pad + hr), (pad, pad + 16 + wr),
+                            (0, 0)))
+
+    fpad1 = padded(fmap1, H1, W1)
+    fpad2 = padded(fmap2, H2, W2)
     Hp1, Wp1 = fpad1.shape[1], fpad1.shape[2]
     Hp2, Wp2 = fpad2.shape[1], fpad2.shape[2]
 

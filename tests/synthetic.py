@@ -13,13 +13,16 @@ import os.path as osp
 import numpy as np
 
 
-def render_sequence(n_frames=10, H=60, W=80, fx=60.0, seed=0):
-    """Textured fronto-parallel plane, camera translating in x.
+def render_sequence(n_frames=10, H=60, W=80, fx=60.0, seed=0,
+                    motion="line"):
+    """Textured fronto-parallel plane, translating camera.
 
-    Returns images [n, H, W] float in [0, 255], poses [n, 7]
+    motion "line": constant velocity in x (a damped-linear motion model
+    free-rides on it); "curve": sinusoidal x/y so only real tracking keeps
+    the trajectory. Returns images [n, H, W] in [0, 255], poses [n, 7]
     (camera-to-world, xyzw quat), intrinsics [4]."""
     rng = np.random.RandomState(seed)
-    tex_h, tex_w = H, W * 3
+    tex_h, tex_w = H * 3, W * 3
     tex = rng.rand(tex_h, tex_w) * 255.0
     # smooth the texture a little so gradients are informative
     k = np.ones((3, 3)) / 9.0
@@ -28,18 +31,30 @@ def render_sequence(n_frames=10, H=60, W=80, fx=60.0, seed=0):
     tex = convolve2d(tex, k, mode="same", boundary="wrap")
 
     Z = 2.0  # plane depth
-    step_x = 0.02  # metres per frame
     images, poses = [], []
     for i in range(n_frames):
-        # camera at (i*step_x, 0, 0) looking down +z: pixel (u,v) sees
-        # texture at (u + fx*step_x*i/Z, v)
-        shift = fx * step_x * i / Z
-        u = (np.arange(W) + shift) % tex_w
+        if motion == "curve":
+            cam_x = 0.02 * i + 0.06 * np.sin(2 * np.pi * i / 12.0)
+            cam_y = 0.06 * (1 - np.cos(2 * np.pi * i / 9.0))
+        else:
+            cam_x, cam_y = 0.02 * i, 0.0
+        # camera at (cam_x, cam_y, 0) looking down +z: pixel (u, v) sees
+        # texture at (u + fx*cam_x/Z, v + fx*cam_y/Z)
+        su = fx * cam_x / Z
+        sv = fx * cam_y / Z
+        u = (np.arange(W) + su) % tex_w
+        v = (np.arange(H) + sv) % tex_h
         u0 = np.floor(u).astype(int)
-        a = u - u0
-        img = (1 - a) * tex[:, u0 % tex_w] + a * tex[:, (u0 + 1) % tex_w]
+        v0 = np.floor(v).astype(int)
+        a = (u - u0)[None, :]
+        b = (v - v0)[:, None]
+        t00 = tex[np.ix_(v0 % tex_h, u0 % tex_w)]
+        t01 = tex[np.ix_(v0 % tex_h, (u0 + 1) % tex_w)]
+        t10 = tex[np.ix_((v0 + 1) % tex_h, u0 % tex_w)]
+        t11 = tex[np.ix_((v0 + 1) % tex_h, (u0 + 1) % tex_w)]
+        img = (1 - b) * ((1 - a) * t00 + a * t01) + b * ((1 - a) * t10 + a * t11)
         images.append(img)
-        poses.append([i * step_x, 0, 0, 0, 0, 0, 1])
+        poses.append([cam_x, cam_y, 0, 0, 0, 0, 1])
     intr = np.array([fx, fx, W / 2.0, H / 2.0], np.float32)
     return np.stack(images), np.asarray(poses, np.float64), intr
 
@@ -66,12 +81,13 @@ def events_from_images(images, thresh=6.0, t_per_frame=1000):
     return x[order], y[order], t[order], p[order]
 
 
-def write_scene(root: str, n_frames=10, H=60, W=80, seed=0):
+def write_scene(root: str, n_frames=10, H=60, W=80, seed=0, motion="line"):
     """Write a TartanEvent-format scene directory; returns (root, intr)."""
     import h5py
     from PIL import Image
 
-    images, poses, intr = render_sequence(n_frames, H, W, seed=seed)
+    images, poses, intr = render_sequence(n_frames, H, W, seed=seed,
+                                          motion=motion)
     x, y, t, p = events_from_images(images)
 
     os.makedirs(osp.join(root, "image_left"), exist_ok=True)
