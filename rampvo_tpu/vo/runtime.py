@@ -131,6 +131,17 @@ def _commit(cfg: VOConfig, state: VOState, fmap, gmap, imap_vec, patches_new,
     )
 
 
+def _reproject_edges(cfg: VOConfig, state: VOState, ii, jj, kk):
+    M = cfg.M
+    L = state.l2g.shape[0]
+    F = state.poses.shape[0]
+    poses_i = state.poses[jnp.clip(state.l2g[jnp.clip(ii, 0, L - 1)], 0, F - 1)]
+    poses_j = state.poses[jnp.clip(state.l2g[jnp.clip(jj, 0, L - 1)], 0, F - 1)]
+    rows = jnp.clip(_patch_rows(state, kk, M), 0, F * M - 1)
+    return transform_edges(poses_i, poses_j, state.patches[rows],
+                           state.intrinsics)
+
+
 def _edge_corr_ctx(cfg: VOConfig, state: VOState, ii, jj, kk):
     """Correlation features + context for an edge set
     (ref: Ramp_vo.py:175-182, net ctx gather :282)."""
@@ -226,9 +237,14 @@ def _append_edges(cfg: VOConfig, state: VOState) -> VOState:
     )
 
 
-def _update(cfg: VOConfig, update_fn, params, state: VOState) -> VOState:
+def _update(cfg: VOConfig, update_fn, params, state: VOState,
+            oracle=None) -> VOState:
     """One VO update: reproject -> corr -> update net -> BA
-    (ref: Ramp_vo.py:276-310)."""
+    (ref: Ramp_vo.py:276-310).
+
+    `oracle(state, ii, jj, kk, coords) -> (delta, weight)`: optional
+    replacement for the update network — used by runtime-correctness tests
+    to drive BA with ground-truth targets."""
     M, PW = cfg.M, cfg.POSE_WINDOW
     P = state.gmap_r.shape[-3]
     F = state.poses.shape[0]
@@ -238,10 +254,15 @@ def _update(cfg: VOConfig, update_fn, params, state: VOState) -> VOState:
 
     ii, jj, kk, valid = state.ii, state.jj, state.kk, state.e_valid
 
-    coords, corr_in, ctx = _edge_corr_ctx(cfg, state, ii, jj, kk)
-    net, (delta, weight) = update_fn(
-        params, state.net, ctx, corr_in, ii, jj, kk, valid
-    )
+    if oracle is None:
+        coords, corr_in, ctx = _edge_corr_ctx(cfg, state, ii, jj, kk)
+        net, (delta, weight) = update_fn(
+            params, state.net, ctx, corr_in, ii, jj, kk, valid
+        )
+    else:
+        coords = _reproject_edges(cfg, state, ii, jj, kk)
+        delta, weight = oracle(state, ii, jj, kk, coords)
+        net = state.net
 
     target = coords[:, P // 2, P // 2, :] + delta
     weight = filter_features(weight, target, hw4)
@@ -361,7 +382,8 @@ def _keyframe(cfg: VOConfig, state: VOState) -> VOState:
 # frame-level composition
 # ---------------------------------------------------------------------------
 
-def make_vo_frame(cfg: VOConfig, vonet: VONet, event_bias: bool = True):
+def make_vo_frame(cfg: VOConfig, vonet: VONet, event_bias: bool = True,
+                  oracle=None):
     """Build the single jitted per-frame function.
 
     vo_frame(params, state, events [T,H,W,Ce], images [1,H,W,3], mask [T])
@@ -453,12 +475,13 @@ def make_vo_frame(cfg: VOConfig, vonet: VONet, event_bias: bool = True):
             def burst(s):
                 s = s.replace(initialized=jnp.asarray(True))
                 return jax.lax.fori_loop(
-                    0, 12, lambda _, x: _update(cfg, update_fn, params, x), s
+                    0, 12,
+                    lambda _, x: _update(cfg, update_fn, params, x, oracle), s
                 )
 
             def normal(s):
                 def run(x):
-                    x = _update(cfg, update_fn, params, x)
+                    x = _update(cfg, update_fn, params, x, oracle)
                     return _keyframe(cfg, x)
 
                 return jax.lax.cond(s.initialized, run, lambda x: x, s)
@@ -484,7 +507,8 @@ def make_encode_only(cfg: VOConfig, vonet: VONet):
     return jax.jit(encode_only, donate_argnums=(1,))
 
 
-def make_final_updates(cfg: VOConfig, vonet: VONet, iters: int = 12):
+def make_final_updates(cfg: VOConfig, vonet: VONet, iters: int = 12,
+                       oracle=None):
     """Terminal refinement: N extra updates (ref: evaluate.py:254-255)."""
 
     def update_fn(params, net, ctx, corr_in, ii, jj, kk, valid):
@@ -494,7 +518,8 @@ def make_final_updates(cfg: VOConfig, vonet: VONet, iters: int = 12):
 
     def final(params, state: VOState):
         return jax.lax.fori_loop(
-            0, iters, lambda _, s: _update(cfg, update_fn, params, s), state
+            0, iters,
+            lambda _, s: _update(cfg, update_fn, params, s, oracle), state
         )
 
     return jax.jit(final, donate_argnums=(1,))
