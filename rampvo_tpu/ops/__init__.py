@@ -1,10 +1,12 @@
 """Compute kernels (replaces the reference's cuda_corr / parts of cuda_ba)."""
 
-from .corr import avg_pool2d, corr, patchify, pyramidify
+from .corr import avg_pool2d, corr, corr_stack, patchify, pyramidify
+from .corr_pallas import corr_pallas, corr_pallas2
 from .neighbors import neighbors
 from .scatter import compact_ids, segment_mean, segment_softmax, segment_sum
 
 __all__ = [
-    "avg_pool2d", "corr", "patchify", "pyramidify", "neighbors",
+    "avg_pool2d", "corr", "corr_stack", "corr_pallas", "corr_pallas2",
+    "patchify", "pyramidify", "neighbors",
     "compact_ids", "segment_mean", "segment_softmax", "segment_sum",
 ]

@@ -184,101 +184,3 @@ def corr_stack(c1: jnp.ndarray, c2: jnp.ndarray) -> jnp.ndarray:
     c1, c2: [E, P, P, (2R+1)²] -> [E, 2*(2R+1)²*P*P]
     """
     return jnp.stack([c1, c2], axis=-1).reshape(c1.shape[0], -1)
-
-
-def corr_tiled(
-    gmap: jnp.ndarray,
-    fmap: jnp.ndarray,
-    coords: jnp.ndarray,
-    ii: jnp.ndarray,
-    jj: jnp.ndarray,
-    radius: int = 3,
-    spread: int = 8,
-) -> jnp.ndarray:
-    """Fast-path correlation: one bounding tile per EDGE instead of one
-    window per patch-pixel.
-
-    Exploits the structure the reference's kernel ignores: a patch's
-    inverse depth is constant across its 3x3 pixels (set_depth broadcasts
-    one value, ramp/utils.py:99-101), so the 9 reprojected pixels stay
-    within a few pixels of the patch center and their (2R+2)² windows
-    overlap almost entirely. One [T, T, C] tile per edge (T = 2R+2+2*spread)
-    is gathered with a single strided slice, then the per-pixel windows are
-    cut out with one-hot row/column selectors — three dense einsums that run
-    on the MXU instead of 9 scattered window gathers per edge.
-
-    Deviation from the reference kernel: a patch pixel farther than `spread`
-    px from the patch center gets a zeroed window (treated as out-of-bounds).
-    This needs |coords[pq] - coords[center]| > 8 px at 1/4 resolution —
-    geometry the BA robust gates discard anyway (ba_cuda.cu:296-308).
-
-    Same signature/output as `corr`.
-    """
-    E, P, _, _ = coords.shape
-    Nf, H, W, C = fmap.shape
-    R = radius
-    D = 2 * R + 2
-    S = spread
-    T = D + 2 * S
-    pad = T  # covers the clamp range below
-
-    f1 = jnp.take(gmap, ii, axis=0)  # [E, P, P, C]
-
-    x = coords[..., 0]
-    y = coords[..., 1]
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-
-    cy = y0[:, P // 2, P // 2]
-    cx = x0[:, P // 2, P // 2]
-    base_y = jnp.clip(cy - S - R, -T, H + T)
-    base_x = jnp.clip(cx - S - R, -T, W + T)
-
-    # per-pixel window start offset inside the tile
-    oy = y0 - R - base_y[:, None, None]  # in [0, 2S] when within spread
-    ox = x0 - R - base_x[:, None, None]
-    ok = (oy >= 0) & (oy <= 2 * S) & (ox >= 0) & (ox <= 2 * S)
-    oy = jnp.clip(oy, 0, 2 * S)
-    ox = jnp.clip(ox, 0, 2 * S)
-
-    fpad = jnp.pad(fmap, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
-
-    def one(n, a, b):
-        return jax.lax.dynamic_slice(fpad, (n, a, b, 0), (1, T, T, C))[0]
-
-    tile = jax.vmap(one)(jj, base_y + pad, base_x + pad)  # [E, T, T, C]
-
-    # dot maps: <g[e,pq], tile[e,y,x]> for every tile position
-    dm = jnp.einsum(
-        "epqc,eyxc->epqyx",
-        f1,
-        tile,
-        preferred_element_type=jnp.float32,
-    ).reshape(E, P * P, T, T)
-
-    # one-hot window extraction (rows then cols) on the MXU
-    ar = jnp.arange(D)[None, None, :, None]  # window tap
-    ay = jnp.arange(T)[None, None, None, :]
-    rsel = (oy.reshape(E, P * P)[:, :, None, None] + ar == ay).astype(dm.dtype)
-    csel = (ox.reshape(E, P * P)[:, :, None, None] + ar == ay).astype(dm.dtype)
-
-    t2 = jnp.einsum("epay,epyx->epax", rsel, dm)
-    vol = jnp.einsum("epbx,epax->epab", csel, t2).reshape(E, P, P, D, D)
-    vol = vol * ok[..., None, None].astype(vol.dtype)
-
-    # bilinear blend of the 4 integer shifts (D×D -> d×d)
-    fx = (x - x0.astype(jnp.float32))[..., None, None]
-    fy = (y - y0.astype(jnp.float32))[..., None, None]
-    d = 2 * R + 1
-    v00 = vol[..., :d, :d]
-    v01 = vol[..., :d, 1:]
-    v10 = vol[..., 1:, :d]
-    v11 = vol[..., 1:, 1:]
-    out = (
-        (1 - fy) * (1 - fx) * v00
-        + (1 - fy) * fx * v01
-        + fy * (1 - fx) * v10
-        + fy * fx * v11
-    )
-    out = jnp.swapaxes(out[..., None], -2, -3)[..., 0]
-    return out.reshape(E, P, P, d * d)
