@@ -169,18 +169,22 @@ class PixelLSTM(nn.Module):
         if carry is None:
             carry = self.initial_carry(H, W, self.hidden, x.dtype)
 
-        # input contribution for all T at once: one big MXU matmul
-        xg = jnp.einsum("thwc,cg->thwg", x, w_ih) + (b_ih + b_hh)
+        bias = b_ih + b_hh
 
-        def step(hc, xg_t):
+        def step(hc, x_t):
+            # the input projection lives INSIDE the step (still one
+            # [H*W, C] x [C, 4h] MXU matmul per step): precomputing the
+            # gates for all T materializes [T, H, W, 4h] — gigabytes at
+            # training window sizes
             h, c = hc
-            gates = xg_t + h @ w_hh
+            gates = x_t @ w_ih + bias + h @ w_hh
             i, f, g, o = jnp.split(gates, 4, axis=-1)
             c = nn.sigmoid(f) * c + nn.sigmoid(i) * jnp.tanh(g)
             h = nn.sigmoid(o) * jnp.tanh(c)
             return (h, c), h
 
-        carry, out = jax.lax.scan(step, carry, xg)
+        step = jax.checkpoint(step)  # backward recomputes gates per step
+        carry, out = jax.lax.scan(step, carry, x)
         return out, carry
 
     @staticmethod

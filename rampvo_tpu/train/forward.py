@@ -56,6 +56,29 @@ def _cgd_bwd(p, res, g):
 corr_grad_dropout.defvjp(_cgd_fwd, _cgd_bwd)
 
 
+def corr_chunked(gmap, fmap, coords, kk, jj, radius, n_chunks=8):
+    """Training correlation in edge chunks, each rematerialized.
+
+    The gather intermediate is ~[E, P, P, (2R+2)^2, C] floats; storing it for
+    the backward pass (x2 for its cotangent, x2 levels, x18 unrolled steps)
+    explodes HBM. Chunked jax.checkpoint bounds the transient to one chunk.
+    """
+    E = coords.shape[0]
+    assert E % n_chunks == 0
+    c = E // n_chunks
+
+    ck = jax.checkpoint(
+        lambda gm, fm, co, k, j: corr_op(gm, fm, co, k, j, radius),
+        static_argnums=(),
+    )
+    outs = [
+        ck(gmap, fmap, coords[i * c:(i + 1) * c], kk[i * c:(i + 1) * c],
+           jj[i * c:(i + 1) * c])
+        for i in range(n_chunks)
+    ]
+    return jnp.concatenate(outs, axis=0)
+
+
 # ---------------------------------------------------------------------------
 # static edge schedule
 # ---------------------------------------------------------------------------
@@ -145,10 +168,17 @@ class TrainForward:
         intr4 = intrinsics[0] / 4.0  # shared pinhole at 1/4 res
         intr_frames = jnp.broadcast_to(intr4, (NF, 4))
 
-        # ---- encode whole window once (reinit hidden, net.py:263-268) ----
-        fmap, imap_full, _ = self.vonet.apply(
-            params, events, images, mask, None, NF, method=VONet.encode
-        )
+        # ---- encode whole window once (reinit hidden, net.py:263-268).
+        # rematerialized: the encoder's intermediate maps (dozens of
+        # [T, H/2, W/2, 32] activations, 4-8x lane-padded) dominate HBM if
+        # stored for the backward pass ----
+        def _encode(p, ev, im, mk):
+            f, i, _ = self.vonet.apply(
+                p, ev, im, mk, None, NF, method=VONet.encode
+            )
+            return f, i
+
+        fmap, imap_full = jax.checkpoint(_encode)(params, events, images, mask)
         fmap = fmap.astype(jnp.float32)
         imap_full = imap_full.astype(jnp.float32)
 
@@ -241,8 +271,9 @@ class TrainForward:
 
             # --- reproject + corr + update (net.py:342-346) ---
             coords_e = _transform(Gs, patches, intr4, ii, jj, kk)  # [E,P,P,2]
-            c1 = corr_op(gmap_flat, pyr1, coords_e, kk, jj, 3)
-            c2 = corr_op(gmap_flat, pyr2, coords_e / 4.0, kk, jj, 3)
+            nch = 8 if E % 8 == 0 else (4 if E % 4 == 0 else 1)
+            c1 = corr_chunked(gmap_flat, pyr1, coords_e, kk, jj, 3, nch)
+            c2 = corr_chunked(gmap_flat, pyr2, coords_e / 4.0, kk, jj, 3, nch)
             rng, k_c1, k_c2 = jax.random.split(rng, 3)
             c1 = corr_grad_dropout(c1, k_c1, 0.2)
             c2 = corr_grad_dropout(c2, k_c2, 0.2)
@@ -323,7 +354,14 @@ class TrainForward:
             jnp.asarray(sched.insert),
         )
         carry0 = (Gs0, patches_init, net0, valid0, rng)
-        (Gs, patches, net, valid, rng), outs = jax.lax.scan(step, carry0, xs)
+        # rematerialize each unrolled step in the backward pass: the corr
+        # gather intermediate alone is ~5GB/step at full resolution — storing
+        # it for 18 steps (95GB) cannot fit HBM; recompute trades ~2x step
+        # FLOPs for O(carry) memory
+        step_ckpt = jax.checkpoint(step, prevent_cse=False)
+        (Gs, patches, net, valid, rng), outs = jax.lax.scan(
+            step_ckpt, carry0, xs
+        )
 
         step_loss, flow_e, tr, ro, e_min, wv = outs
         loss = step_loss.sum()
