@@ -33,8 +33,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-E_BLK = 128
-GANG = 4            # edges per fused MXU matmul in the 2-level kernel
+E_BLK = 64
+GANG = 8            # edges per fused MXU matmul in the 2-level kernel
 SPREAD = 4            # max |patch pixel - center| handled exactly (px)
 TY = 16               # tile rows: D + 2*SPREAD
 TX = 32               # tile cols: D + 2*SPREAD + 8-alignment slack

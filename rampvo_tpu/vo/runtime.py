@@ -392,9 +392,27 @@ def make_vo_frame(cfg: VOConfig, vonet: VONet, event_bias: bool = True,
     """
 
     def encode_fn(params, events, images, mask, enc_state):
-        return vonet.apply(
+        if cfg.MIXED_PRECISION:
+            # the reference encodes under fp16 autocast at inference
+            # (Ramp_vo.py:23,331-337)
+            params = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x,
+                params,
+            )
+            events = events.astype(jnp.bfloat16)
+            images = images.astype(jnp.bfloat16)
+            enc_state = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16), enc_state
+            )
+        fmap, imap, enc2 = vonet.apply(
             params, events, images, mask, enc_state, 1, method=VONet.encode
         )
+        if cfg.MIXED_PRECISION:
+            enc2 = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.float32), enc2
+            )
+        return fmap, imap, enc2
 
     def update_fn(params, net, ctx, corr_in, ii, jj, kk, valid):
         if cfg.MIXED_PRECISION:
