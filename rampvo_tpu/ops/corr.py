@@ -14,6 +14,8 @@ guard (correlation_kernel.cu:11-14,42,122).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -184,3 +186,117 @@ def corr_stack(c1: jnp.ndarray, c2: jnp.ndarray) -> jnp.ndarray:
     c1, c2: [E, P, P, (2R+1)²] -> [E, 2*(2R+1)²*P*P]
     """
     return jnp.stack([c1, c2], axis=-1).reshape(c1.shape[0], -1)
+
+
+def _unblend(grad_out, x, y, R):
+    """Backward of the bilinear 2x2 blend + window transpose: distribute the
+    (2R+1)^2 output gradient onto the (2R+2)^2 raw taps."""
+    E, P, _, dd = grad_out.shape
+    d = 2 * R + 1
+    D = 2 * R + 2
+    g = grad_out.reshape(E, P, P, d, d)
+    g = jnp.swapaxes(g[..., None], -2, -3)[..., 0]  # undo (x,y) permute
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None, None]
+    fy = (y - y0)[..., None, None]
+
+    gv = jnp.zeros((E, P, P, D, D), grad_out.dtype)
+    gv = gv.at[..., :d, :d].add((1 - fy) * (1 - fx) * g)
+    gv = gv.at[..., :d, 1:].add((1 - fy) * fx * g)
+    gv = gv.at[..., 1:, :d].add(fy * (1 - fx) * g)
+    gv = gv.at[..., 1:, 1:].add(fy * fx * g)
+    return gv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def corr_train(gmap, fmap, coords, ii, jj, radius=3):
+    """Differentiable correlation with a hand-written, memory-bounded VJP.
+
+    Forward identical to `corr`. Backward matches the reference's CUDA
+    backward (altcorr/correlation.py:32-45): gradients flow to gmap and
+    fmap only — the coords gradient is dropped, exactly as the reference
+    returns None for it. The taps are REGATHERED in the backward instead of
+    saved, so the multi-GB gather intermediate never outlives one chunk
+    (jax autodiff through `corr` stores it per unrolled training step).
+    """
+    return corr(gmap, fmap, coords, ii, jj, radius)
+
+
+def _corr_train_fwd(gmap, fmap, coords, ii, jj, radius):
+    return corr(gmap, fmap, coords, ii, jj, radius), (gmap, fmap, coords,
+                                                      ii, jj)
+
+
+def _corr_train_bwd(radius, res, grad_out):
+    gmap, fmap, coords, ii, jj = res
+    E, P, _, _ = coords.shape
+    Nf, H, W, C = fmap.shape
+    R = radius
+    D = 2 * R + 2
+    pad = 2 * D
+
+    x = coords[..., 0]
+    y = coords[..., 1]
+    gv = _unblend(grad_out.astype(jnp.float32), x, y, R)  # [E,P,P,D,D]
+
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    sy = (jnp.clip(y0, -D, H + D) - R + pad).reshape(-1)
+    sx = (jnp.clip(x0, -D, W + D) - R + pad).reshape(-1)
+    nn = jnp.broadcast_to(jj[:, None, None], (E, P, P)).reshape(-1)
+    fpad = jnp.pad(fmap, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    Hp, Wp = H + 2 * pad, W + 2 * pad
+
+    f1 = jnp.take(gmap, ii, axis=0)  # [E, P, P, C]
+
+    n_chunks = 8 if E % 8 == 0 else (4 if E % 4 == 0 else 1)
+    c = (E * P * P) // n_chunks
+    cE = E // n_chunks
+
+    def tap_gather(nn_c, sy_c, sx_c):
+        def one(n, a, b):
+            return jax.lax.dynamic_slice(fpad, (n, a, b, 0), (1, D, D, C))[0]
+
+        return jax.vmap(one)(nn_c, sy_c, sx_c)  # [c, D, D, C]
+
+    grad_f1 = []
+    grad_fpad = jnp.zeros_like(fpad)
+    for i in range(n_chunks):
+        slpp = slice(i * c, (i + 1) * c)
+        slE = slice(i * cE, (i + 1) * cE)
+        f2 = tap_gather(nn[slpp], sy[slpp], sx[slpp]).reshape(
+            cE, P, P, D, D, C
+        )
+        gv_c = gv[slE]
+        # d out / d gmap: sum over taps of gv * f2
+        grad_f1.append(
+            jnp.einsum("epqyx,epqyxc->epqc", gv_c,
+                       f2.astype(jnp.float32))
+        )
+        # d out / d fmap: scatter gv * f1 back onto the tap positions
+        contrib = jnp.einsum(
+            "epqyx,epqc->epqyxc", gv_c, f1[slE].astype(jnp.float32)
+        )
+        dy = jnp.arange(D)
+        lin_n = nn[slpp].reshape(cE, P, P, 1, 1)
+        lin_y = sy[slpp].reshape(cE, P, P, 1, 1) + dy[None, None, None, :, None]
+        lin_x = sx[slpp].reshape(cE, P, P, 1, 1) + dy[None, None, None, None, :]
+        flat_idx = (lin_n * Hp + lin_y) * Wp + lin_x
+        grad_fpad = grad_fpad.reshape(-1, C).at[
+            flat_idx.reshape(-1)
+        ].add(contrib.reshape(-1, C)).reshape(Nf, Hp, Wp, C)
+
+    grad_gmap = jax.ops.segment_sum(
+        jnp.concatenate(grad_f1, axis=0), ii, num_segments=gmap.shape[0]
+    ).astype(gmap.dtype)
+    grad_fmap = grad_fpad[:, pad:pad + H, pad:pad + W, :].astype(fmap.dtype)
+    import numpy as _np
+
+    ct_int = lambda a: _np.zeros(a.shape, jax.dtypes.float0)
+    return (grad_gmap, grad_fmap, jnp.zeros_like(coords),
+            ct_int(ii), ct_int(jj))
+
+
+corr_train.defvjp(_corr_train_fwd, _corr_train_bwd)

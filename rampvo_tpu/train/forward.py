@@ -26,7 +26,7 @@ from ..ba import ba_train
 from ..lie import SE3, ops as lops
 from ..models import VONet
 from ..models.vonet import extract_patches, select_coords_event_bias, select_coords_random
-from ..ops.corr import avg_pool2d, corr as corr_op, corr_stack
+from ..ops.corr import avg_pool2d, corr as corr_op, corr_stack, corr_train
 from .loss import pose_loss_terms
 
 DIM = 384
@@ -271,9 +271,8 @@ class TrainForward:
 
             # --- reproject + corr + update (net.py:342-346) ---
             coords_e = _transform(Gs, patches, intr4, ii, jj, kk)  # [E,P,P,2]
-            nch = 8 if E % 8 == 0 else (4 if E % 4 == 0 else 1)
-            c1 = corr_chunked(gmap_flat, pyr1, coords_e, kk, jj, 3, nch)
-            c2 = corr_chunked(gmap_flat, pyr2, coords_e / 4.0, kk, jj, 3, nch)
+            c1 = corr_train(gmap_flat, pyr1, coords_e, kk, jj, 3)
+            c2 = corr_train(gmap_flat, pyr2, coords_e / 4.0, kk, jj, 3)
             rng, k_c1, k_c2 = jax.random.split(rng, 3)
             c1 = corr_grad_dropout(c1, k_c1, 0.2)
             c2 = corr_grad_dropout(c2, k_c2, 0.2)
