@@ -156,3 +156,42 @@ class TestRuntimeSmoke:
              np.asarray([False]), np.asarray([100.0, 100.0, W / 2, H / 2]))
         assert int(slam.state.n) == n0
         assert int(slam.state.counter) == c0
+
+
+class TestLongRunStability:
+    def test_sixty_frames_with_evictions(self):
+        """Long sequence with constant keyframe evictions: ring slots must
+        recycle, the edge table must stay within capacity, and the
+        delta-chain must stay resolvable for every counter id."""
+        cfg = VOConfig(
+            BUFFER_SIZE=64, PATCHES_PER_FRAME=8, REMOVAL_WINDOW=5,
+            OPTIMIZATION_WINDOW=4, PATCH_LIFETIME=3, KEYFRAME_INDEX=2,
+            KEYFRAME_THRESH=1e9,  # evict every frame once initialized
+            MIXED_PRECISION=False, PROBE_THRESH=-1.0, MAX_FRAMES=80, MEM=16,
+        )
+        vo = RampVO(cfg, None, input_mode="MultiScale", ht=H, wd=W)
+        vo.params = vo.vonet.init(
+            jax.random.PRNGKey(1), jnp.zeros((1, H, W, 5)),
+            jnp.zeros((1, H, W, 3)), jnp.asarray([True]),
+        )
+        evs, ims = make_frames(60, seed=3)
+        for t in range(60):
+            vo(t, jnp.asarray(evs[t]), jnp.asarray(ims[t]),
+               np.asarray([True]), np.asarray([100.0, 100.0, W / 2, H / 2]))
+
+        st = vo.state
+        n = int(st.n)
+        assert int(st.counter) == 60
+        assert n < 60  # evictions happened
+        assert np.asarray(st.e_valid).sum() <= cfg.EDGE_CAPACITY
+        # every live logical frame maps to a distinct global id
+        l2g = np.asarray(st.l2g[:n])
+        assert len(set(l2g.tolist())) == n
+        # slot map consistent: live recent frames hold distinct slots
+        slots = np.asarray(st.slotmap[:n])
+        held = slots[slots >= 0]
+        assert len(set(held.tolist())) == len(held)
+        # trajectory resolves for every frame id
+        poses, tstamps = vo.terminate()
+        assert poses.shape == (60, 7)
+        assert np.all(np.isfinite(poses))
