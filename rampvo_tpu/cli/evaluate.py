@@ -60,7 +60,7 @@ def load_params(weights, input_mode: str):
 
 
 def run(config_VO: VOConfig, params, eval_cfg, data_list,
-        final_iters: int = 12, event_bias=None):
+        final_iters: int = 12, event_bias=None, seed: int = 0):
     """Run the SLAM over a scene's data list (ref: evaluate.py:232-260).
 
     Returns (poses [N,7] xyz+xyzw camera-to-world, tstamps, points, colors).
@@ -74,7 +74,7 @@ def run(config_VO: VOConfig, params, eval_cfg, data_list,
     slam = RampVO(
         config_VO, params, input_mode=input_mode,
         num_event_bins=train_cfg["num_event_bins"], ht=H, wd=W,
-        event_bias=bias,
+        event_bias=bias, seed=seed,
     )
     import jax.numpy as jnp
 
@@ -94,7 +94,7 @@ def run(config_VO: VOConfig, params, eval_cfg, data_list,
 
 
 def evaluate_sequence(config_VO, params, eval_cfg, data_list, traj_ref,
-                      img_timestamps, use_pose_pred=False):
+                      img_timestamps, use_pose_pred=False, seed: int = 0):
     """(ref: evaluate.py:263-312)"""
     if use_pose_pred:
         # predict the second half of the trajectory (ref: evaluate.py:268-279)
@@ -108,7 +108,7 @@ def evaluate_sequence(config_VO, params, eval_cfg, data_list, traj_ref,
         colors = np.zeros((len(poses), 3), np.float32)
     else:
         poses, tstamps, points, colors = run(
-            config_VO, params, eval_cfg, data_list
+            config_VO, params, eval_cfg, data_list, seed=seed
         )
     used = img_timestamps[: len(poses)] if len(img_timestamps) >= len(poses) \
         else np.arange(len(poses), dtype=float)
@@ -179,6 +179,7 @@ def evaluate(net, trials=1, downsample_fact=1, config_VO=None, eval_cfg=None,
                 config_VO, params, eval_cfg, data_list, traj_ref,
                 used_ts[frame_indices] if len(frame_indices) else used_ts,
                 use_pose_pred=test_.get("use_pose_pred", False),
+                seed=j,  # trials differ through the stochastic pieces
             )
             print(f"\n {scene_name} trial {j}: ate={ate:.4f} rot={rot}")
             eu.save_stamped_trajectories(

@@ -553,7 +553,7 @@ class RampVO:
 
     def __init__(self, cfg: VOConfig, params, input_mode: str = "MultiScale",
                  num_event_bins: int = 5, ht: int = 480, wd: int = 640,
-                 event_bias: bool = True):
+                 event_bias: bool = True, seed: int = 0):
         self.cfg = cfg
         self.params = params
         self.vonet = VONet(input_mode=input_mode, evs_ch=num_event_bins, img_ch=3)
@@ -568,6 +568,10 @@ class RampVO:
         else:
             enc_state = MultiScaleEncoder.init_state(ht, wd)
         self.state = init_state(cfg, enc_state, ht, wd)
+        if seed:
+            import jax as _jax
+
+            self.state = self.state.replace(rng=_jax.random.PRNGKey(seed))
 
         self._vo_frame = make_vo_frame(cfg, self.vonet, event_bias)
         self._encode_only = make_encode_only(cfg, self.vonet)
