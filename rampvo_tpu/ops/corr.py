@@ -161,6 +161,116 @@ def corr(
     return out.reshape(E, P, P, d * d)
 
 
+def _region_window_mats(x, y, bx0, by0, radius, S):
+    """Separable window-extraction × bilinear-blend matrices.
+
+    For output row u the raw-tap blend reads rows floor(y)-R+u and +1 with
+    weights (1-fy, fy) (the 2x2 blend of corr_cuda_forward,
+    correlation_kernel.cu:221-232, is separable in y and x). Expressed
+    against a region of S rows starting at by0 this is a [d, S] matrix with
+    two nonzeros per row; taps falling outside the region get zero weight.
+
+    x, y: [E, P, P] float coords; bx0, by0: [E] int region bases.
+    Returns (Wy, Wx): [E, P, P, d, S] float32.
+    """
+    R = radius
+    d = 2 * R + 1
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0).astype(jnp.float32)
+    fy = (y - y0).astype(jnp.float32)
+    ry0 = y0.astype(jnp.int32) - R - by0[:, None, None]   # [E, P, P]
+    rx0 = x0.astype(jnp.int32) - R - bx0[:, None, None]
+    u = jnp.arange(d, dtype=jnp.int32)
+    s = jnp.arange(S, dtype=jnp.int32)
+
+    def mats(r0, f):
+        base = r0[..., None] + u                          # [E, P, P, d]
+        hit0 = (s == base[..., None]).astype(jnp.float32)  # [E, P, P, d, S]
+        hit1 = (s == base[..., None] + 1).astype(jnp.float32)
+        return (1.0 - f)[..., None, None] * hit0 + f[..., None, None] * hit1
+
+    return mats(ry0, fy), mats(rx0, fx)
+
+
+def corr_region(
+    gmap: jnp.ndarray,
+    fmap: jnp.ndarray,
+    coords: jnp.ndarray,
+    ii: jnp.ndarray,
+    jj: jnp.ndarray,
+    radius: int = 3,
+    region: int = 16,
+    chunks: int = 0,
+) -> jnp.ndarray:
+    """Local correlation volume, region-dots formulation (fast TPU path).
+
+    Same contract as `corr`, restructured for the TPU memory system: instead
+    of gathering one (D, D, C) window per patch PIXEL (E·P² gather
+    descriptors), gather ONE (S, S, C) region per EDGE around the patch
+    center (9x fewer descriptors), compute every patch pixel's dot products
+    against the whole region in a single batched MXU einsum, then apply the
+    window extraction + 2x2 bilinear blend as two small separable matrices
+    (`_region_window_mats`) — exact 0/1-and-fraction weights, so the result
+    is bit-comparable to `corr` wherever the taps lie inside the region.
+
+    Deviation (shared with the Pallas kernel, documented in README): a patch
+    pixel whose tap window leaves the region — i.e. lands more than
+    S/2 - 2R - 1 px (4 px for S=16, R=3) from the patch-center pixel — has
+    those taps zeroed. BA's robust gates discard such geometry anyway.
+
+    chunks > 1 processes edges in that many sequential chunks to bound the
+    [E, S, S, C] region buffer (used by the full-scale VO config).
+    """
+    E, P, _, _ = coords.shape
+    Nf, H, W, C = fmap.shape
+    R = radius
+    d = 2 * R + 1
+    S = region
+
+    f1 = jnp.take(gmap, ii, axis=0)                       # [E, P, P, C]
+    x = coords[..., 0]
+    y = coords[..., 1]
+
+    # per-edge region base from the center pixel, clamped into the pad
+    cy0 = jnp.floor(y[:, P // 2, P // 2]).astype(jnp.int32)
+    cx0 = jnp.floor(x[:, P // 2, P // 2]).astype(jnp.int32)
+    by0 = jnp.clip(cy0 - (S // 2 - 1), -S, H)
+    bx0 = jnp.clip(cx0 - (S // 2 - 1), -S, W)
+
+    pad = S
+    fpad = jnp.pad(fmap, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+
+    Wy, Wx = _region_window_mats(x, y, bx0, by0, radius, S)
+
+    def block(f1_b, jj_b, by_b, bx_b, Wy_b, Wx_b):
+        def one(n, a, b):
+            return jax.lax.dynamic_slice(fpad, (n, a, b, 0), (1, S, S, C))[0]
+
+        reg = jax.vmap(one)(jj_b, by_b + pad, bx_b + pad)  # [e, S, S, C]
+        dots = jnp.einsum(
+            "epqc,eyxc->epqyx", f1_b, reg,
+            preferred_element_type=jnp.float32,
+        )
+        # contract region rows/cols with the blend matrices -> [e,P,P,d,d]
+        return jnp.einsum("epquy,epqyx,epqvx->epquv", Wy_b, dots, Wx_b)
+
+    if chunks > 1 and E % chunks == 0:
+        e = E // chunks
+        shaped = lambda a: a.reshape(chunks, e, *a.shape[1:])
+        out = jax.lax.map(
+            lambda t: block(*t),
+            (shaped(f1), shaped(jj), shaped(by0), shaped(bx0),
+             shaped(Wy), shaped(Wx)),
+        ).reshape(E, P, P, d, d)
+    else:
+        out = block(f1, jj, by0, bx0, Wy, Wx)
+
+    # window-dim permute to (x, y), matching corr (correlation_kernel.cu:232)
+    out = jnp.swapaxes(out[..., None], -2, -3)[..., 0]
+    return out.reshape(E, P, P, d * d)
+
+
 def avg_pool2d(x: jnp.ndarray, k: int) -> jnp.ndarray:
     """Non-overlapping average pool on NHWC (stride == kernel)."""
     if k == 1:

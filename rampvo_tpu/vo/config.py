@@ -28,8 +28,9 @@ class VOConfig:
     # gate (every frame committed) — used by benchmarks/synthetic tests
     PROBE_THRESH: float = 2.0
 
-    # correlation kernel: "auto" = Pallas MXU kernel on TPU, exact XLA
-    # tile-gather elsewhere; "xla" / "pallas" force one implementation
+    # correlation kernel: "auto" = best TPU path on TPU, exact XLA
+    # tile-gather elsewhere; "xla" / "pallas" / "region" force one
+    # implementation (region = one gather per edge + batched MXU dots)
     CORR_IMPL: str = "auto"
 
     # TPU-native capacities (not in the reference; sized from its dynamics)

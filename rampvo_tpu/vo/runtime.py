@@ -35,7 +35,7 @@ from ..models.vonet import (
     select_coords_event_bias,
     select_coords_random,
 )
-from ..ops.corr import avg_pool2d, corr as corr_xla, corr_stack
+from ..ops.corr import avg_pool2d, corr as corr_xla, corr_region, corr_stack
 from ..ops.corr_pallas import corr_pallas2
 from .config import VOConfig
 from .state import VOState, init_state
@@ -171,6 +171,13 @@ def _edge_corr_ctx(cfg: VOConfig, state: VOState, ii, jj, kk):
         c1, c2 = corr_pallas2(
             gmap_flat, state.fmap1_r, state.fmap2_r, coords, gidx, slot_j, 3
         )
+    elif impl == "region":
+        E = coords.shape[0]
+        ch = 8 if E % 8 == 0 and E > 16384 else 1
+        c1 = corr_region(gmap_flat, state.fmap1_r, coords, gidx, slot_j, 3,
+                         chunks=ch)
+        c2 = corr_region(gmap_flat, state.fmap2_r, coords / 4.0, gidx,
+                         slot_j, 3, chunks=ch)
     else:
         c1 = corr_xla(gmap_flat, state.fmap1_r, coords, gidx, slot_j, 3)
         c2 = corr_xla(gmap_flat, state.fmap2_r, coords / 4.0, gidx, slot_j, 3)
