@@ -220,15 +220,22 @@ def corr_pallas(
 
 def _kernel2(slot_of_block, fmap1_hbm, fmap2_hbm, g_ref, scal_ref,
              out1_ref, out2_ref, scratch1, scratch2, tile_scratch, g_scratch,
-             dm_scratch, sem1, sem2, *, C, PP, D):
+             dmt_scratch, sem1, sem2, *, C, PP, D):
     """Both pyramid levels, GANG edges per iteration.
 
     A single skinny matmul per window set ([TY*TX, C] x [C, PP]) leaves the
     MXU latency-bound; instead the tiles of GANG edges x 2 levels are staged
-    into one [GANG*2*TY*TX, C] scratch and multiplied against the
+    into one [GANG*2*TY*TX, C] scratch and contracted against the
     concatenated patch features [C, GANG*PP] in ONE pipelined MXU matmul
-    (each edge only consumes its own 9 columns — 4x column redundancy buys
-    full pipelining)."""
+    (each edge only consumes its own 9 rows — the column redundancy buys
+    full pipelining).
+
+    The dot is computed TRANSPOSED (dot_general contracting g's C with the
+    tile's C, output [GANG*PP, GANG*2*TY*TX]) so that a window's D rows of
+    TX entries are CONTIGUOUS lanes of one dot-map row. Window extraction
+    is then a [D*TX]-contiguous load at a dynamic 32-aligned offset — the
+    lane-strided gathers of the naive layout (one lane per window pixel)
+    cost ~100 cycles each and dominated the kernel."""
     b = pl.program_id(0)
     slot = slot_of_block[b]
     prev = slot_of_block[jnp.maximum(b - 1, 0)]
@@ -244,8 +251,7 @@ def _kernel2(slot_of_block, fmap1_hbm, fmap2_hbm, g_ref, scal_ref,
         cp2.wait()
 
     # packed scalar layout per edge (see corr_pallas2):
-    # [0]=ty1 [1]=tx1 [2]=ty2 [3]=tx2 [4:13]=oy1 [13:22]=xb1
-    # [22:31]=oy2 [31:40]=xb2
+    # [0]=ty1 [1]=tx1 [2]=ty2 [3]=tx2 [4:13]=oy1 [13:22]=oy2
     def edge_gang(i, carry):
         for u in range(GANG):
             e = i * GANG + u
@@ -261,29 +267,26 @@ def _kernel2(slot_of_block, fmap1_hbm, fmap2_hbm, g_ref, scal_ref,
                 )
             g_scratch[:, pl.ds(u * PP, PP)] = g_ref[e]
 
-        dm = jnp.dot(
-            tile_scratch[...], g_scratch[...],
+        dmt = jax.lax.dot_general(
+            g_scratch[...], tile_scratch[...],
+            dimension_numbers=(((0,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [GANG*2*TY*TX, GANG*PP]
-        dm_scratch[...] = dm.reshape(GANG * 2, TY, TX, GANG * PP).astype(
-            jnp.bfloat16
-        )
+        )  # [GANG*PP, GANG*2*TY*TX]
+        dmt_scratch[...] = dmt
 
         for u in range(GANG):
             e = i * GANG + u
             for lvl, out_ref in ((0, out1_ref), (1, out2_ref)):
-                base = 4 + lvl * 2 * PP
+                base = (u * 2 + lvl) * TY * TX
                 for q in range(PP):
-                    band = dm_scratch[
-                        u * 2 + lvl,
-                        pl.ds(scal_ref[0, e, base + q], D),
-                        pl.ds(
-                            pl.multiple_of(scal_ref[0, e, base + PP + q], 8),
-                            BAND,
-                        ),
-                        u * PP + q,
+                    # dynamic lane offsets must be 128-aligned; load the
+                    # whole (static) tile row and rotate the value instead
+                    row = dmt_scratch[
+                        pl.ds(u * PP + q, 1), pl.ds(base, TY * TX)
                     ]
-                    out_ref[e, q] = band.astype(out_ref.dtype)
+                    oy = scal_ref[0, e, 4 + lvl * PP + q]
+                    win = pltpu.roll(row, -oy * TX, 1)[:, : D * TX]
+                    out_ref[e, q] = win.astype(out_ref.dtype)
         return carry
 
     jax.lax.fori_loop(0, E_BLK // GANG, edge_gang, 0)
@@ -349,9 +352,7 @@ def corr_pallas2(
         ok = (oy >= 0) & (oy <= TY - D) & (ox >= 0) & (ox <= TX - D)
         oy = jnp.clip(oy, 0, TY - D)
         ox = jnp.clip(ox, 0, TX - D)
-        xb = jnp.clip((ox // 8) * 8, 0, TX - BAND)
-        rem = ox - xb
-        return x, y, x0, y0, ty, tx, oy, xb, rem, ok
+        return x, y, x0, y0, ty, tx, oy, ox, ok
 
     prep1 = level_prep(coords, H1, W1)
     prep2 = level_prep(coords / 4.0, H2, W2)
@@ -365,17 +366,17 @@ def corr_pallas2(
     g_p = pad_scatter(g)
 
     def level_cols(prep):
-        _, _, _, _, ty, tx, oy, xb, _, _ = prep
-        return ty, tx, oy.reshape(E, PP), xb.reshape(E, PP)
+        _, _, _, _, ty, tx, oy, _, _ = prep
+        return ty, tx, oy.reshape(E, PP)
 
-    ty1, tx1, oy1, xb1 = level_cols(prep1)
-    ty2, tx2, oy2, xb2 = level_cols(prep2)
+    ty1, tx1, oy1 = level_cols(prep1)
+    ty2, tx2, oy2 = level_cols(prep2)
     # one packed SMEM operand (each SMEM window costs a fixed ~128KB slot)
     scal = jnp.concatenate(
         [ty1[:, None], tx1[:, None], ty2[:, None], tx2[:, None],
-         oy1, xb1, oy2, xb2], axis=1,
+         oy1, oy2], axis=1,
     ).astype(jnp.int32)
-    scal_p = pad_scatter(scal).reshape(NB, E_BLK, 4 + 4 * PP)
+    scal_p = pad_scatter(scal).reshape(NB, E_BLK, 4 + 2 * PP)
 
     def padded(fm, H, W):
         # DMA slice extents must be 8-aligned on the sublane dim
@@ -402,25 +403,27 @@ def corr_pallas2(
                 pl.BlockSpec(memory_space=pltpu.ANY),
                 pl.BlockSpec(memory_space=pltpu.ANY),
                 pl.BlockSpec((E_BLK, C, PP), lambda b, sob: (b, 0, 0)),
-                smem((E_BLK, 4 + 4 * PP)),
+                smem((E_BLK, 4 + 2 * PP)),
             ],
             out_specs=[
-                pl.BlockSpec((E_BLK, PP, D, BAND), lambda b, sob: (b, 0, 0, 0)),
-                pl.BlockSpec((E_BLK, PP, D, BAND), lambda b, sob: (b, 0, 0, 0)),
+                pl.BlockSpec((E_BLK, PP, 1, D * TX),
+                             lambda b, sob: (b, 0, 0, 0)),
+                pl.BlockSpec((E_BLK, PP, 1, D * TX),
+                             lambda b, sob: (b, 0, 0, 0)),
             ],
             scratch_shapes=[
                 pltpu.VMEM((Hp1, Wp1, C), fmap1.dtype),
                 pltpu.VMEM((Hp2, Wp2, C), fmap2.dtype),
                 pltpu.VMEM((GANG * 2 * TY * TX, C), fmap1.dtype),
                 pltpu.VMEM((C, GANG * PP), fmap1.dtype),
-                pltpu.VMEM((GANG * 2, TY, TX, GANG * PP), jnp.bfloat16),
+                pltpu.VMEM((GANG * PP, GANG * 2 * TY * TX), jnp.float32),
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((E_pad, PP, D, BAND), jnp.bfloat16),
-            jax.ShapeDtypeStruct((E_pad, PP, D, BAND), jnp.bfloat16),
+            jax.ShapeDtypeStruct((E_pad, PP, 1, D * TX), jnp.bfloat16),
+            jax.ShapeDtypeStruct((E_pad, PP, 1, D * TX), jnp.bfloat16),
         ],
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
@@ -429,12 +432,12 @@ def corr_pallas2(
     )(blk_slot, fpad1, fpad2, g_p, scal_p)
 
     def finish(band_p, prep):
-        x, y, x0, y0, _, _, _, _, rem, ok = prep
-        band = band_p[unsort].astype(jnp.float32)
+        x, y, x0, y0, _, _, _, ox, ok = prep
+        band = band_p[unsort].astype(jnp.float32).reshape(E, PP, D, TX)
         sel = (
-            rem.reshape(E, PP)[:, :, None, None]
+            ox.reshape(E, PP)[:, :, None, None]
             + jnp.arange(D)[None, None, :, None]
-            == jnp.arange(BAND)[None, None, None, :]
+            == jnp.arange(TX)[None, None, None, :]
         ).astype(band.dtype)
         vol = jnp.einsum("eqbx,eqax->eqab", sel, band).reshape(E, P, P, D, D)
         vol = vol * ok.reshape(E, P, P)[..., None, None].astype(vol.dtype)
