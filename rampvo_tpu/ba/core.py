@@ -82,8 +82,10 @@ def linearize_center(poses, centers, intr_i, intr_j, ii, jj):
     intr_i/intr_j: [E, 4] (fx, fy, cx, cy)
     Returns coords [E,2], Z [E], Ji [E,2,6], Jj [E,2,6], Jz [E,2].
     """
-    Gi = jnp.take(poses, ii, axis=0)
-    Gj = jnp.take(poses, jj, axis=0)
+    # mode="clip": out-of-range indices (inert zero-weight edges) must not
+    # produce NaN fills — 0 * NaN poisons the assembled Hessian
+    Gi = jnp.take(poses, ii, axis=0, mode="clip")
+    Gj = jnp.take(poses, jj, axis=0, mode="clip")
     Gij = lops.se3_mul(Gj, lops.se3_inv(Gi))
 
     fx_i, fy_i, cx_i, cy_i = jnp.moveaxis(intr_i, -1, 0)

@@ -454,3 +454,296 @@ def corr_pallas2(
         return out.reshape(E, P, P, d * d)
 
     return finish(band1, prep1), finish(band2, prep2)
+
+
+def _kernel_lat(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref,
+                out1_ref, out2_ref, scratch1, scratch2, tile_scratch,
+                dmt_scratch, last_slot, sem1, sem2, *, C, PP, D, M, NI):
+    """Edge-lattice variant of _kernel2: one grid step = one lattice cell
+    (96 edges sharing host i and target j). The edge lattice makes the
+    sort/scatter/unsort machinery of corr_pallas2 unnecessary — blocks of
+    same-slot edges exist BY CONSTRUCTION, the patch features arrive as a
+    contiguous gmap ring row via the BlockSpec (no XLA gather), and invalid
+    cells are skipped entirely (predicated grid steps).
+
+    tabs [NB, 5]: (in_row, t, slot_j, gslot, out_row); out_row == NI marks
+    an invalid cell (routed to the trash row by the out index_map)."""
+    b = pl.program_id(0)
+    valid = tabs[b, 4] < NI
+    slot = tabs[b, 2]
+
+    @pl.when(b == 0)
+    def _init():
+        last_slot[0] = -1
+
+    @pl.when(valid & (slot != last_slot[0]))
+    def _load():
+        cp1 = pltpu.make_async_copy(fmap1_hbm.at[slot], scratch1, sem1)
+        cp2 = pltpu.make_async_copy(fmap2_hbm.at[slot], scratch2, sem2)
+        cp1.start()
+        cp2.start()
+        cp1.wait()
+        cp2.wait()
+        last_slot[0] = slot
+
+    @pl.when(valid)
+    def _compute():
+        def edge_gang(i, carry):
+            for u in range(GANG):
+                e = i * GANG + u
+                for lvl, scratch in ((0, scratch1), (1, scratch2)):
+                    tile = scratch[
+                        pl.ds(scal_ref[0, 0, e, 2 * lvl], TY),
+                        pl.ds(
+                            pl.multiple_of(scal_ref[0, 0, e, 2 * lvl + 1], 8),
+                            TX,
+                        ),
+                        :,
+                    ]
+                    row = (u * 2 + lvl) * TY * TX
+                    tile_scratch[pl.ds(row, TY * TX), :] = tile.reshape(
+                        TY * TX, C
+                    )
+
+            # gang patch features: contiguous rows of the gmap block
+            g_gang = g_ref[0, pl.ds(i * GANG * PP, GANG * PP), :]
+            dmt = jax.lax.dot_general(
+                g_gang, tile_scratch[...],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [GANG*PP, GANG*2*TY*TX]
+            dmt_scratch[...] = dmt
+
+            for u in range(GANG):
+                e = i * GANG + u
+                for lvl, out_ref in ((0, out1_ref), (1, out2_ref)):
+                    base = (u * 2 + lvl) * TY * TX
+                    for q in range(PP):
+                        row = dmt_scratch[
+                            pl.ds(u * PP + q, 1), pl.ds(base, TY * TX)
+                        ]
+                        # packed offset oy*TX+ox: rolls the window so its
+                        # D x D block sits at cols [0, D) of each tile row
+                        # (no wrap: ox + D <= TX) - the x-selection one-hot
+                        # einsum outside the kernel disappears entirely
+                        off = scal_ref[0, 0, e, 4 + lvl * PP + q]
+                        win = pltpu.roll(row, -off, 1)[:, : D * TX]
+                        out_ref[0, 0, e, q] = win.astype(out_ref.dtype)
+            return carry
+
+        jax.lax.fori_loop(0, M // GANG, edge_gang, 0)
+
+
+RING_PAD = 24  # = 3*D for D=8 (radius-3 windows)
+
+
+def ring_padded_shape(h: int, w: int, pad: int = RING_PAD) -> tuple:
+    hr = (-(h + 2 * pad)) % 8
+    wr = (-(w + 2 * pad + 16)) % 8
+    return h + 2 * pad + hr, w + 2 * pad + 16 + wr
+
+
+def _pad_ring(fm, pad):
+    """Zero-pad a feature ring for the kernels' clamped tile slices.
+    DMA slice extents must be 8-aligned on the sublane dim."""
+    H, W = fm.shape[1], fm.shape[2]
+    hr = (-(H + 2 * pad)) % 8
+    wr = (-(W + 2 * pad + 16)) % 8
+    return jnp.pad(fm, ((0, 0), (pad, pad + hr), (pad, pad + 16 + wr), (0, 0)))
+
+
+def _level_prep(c, H, W, P, R, D, pad):
+    x = c[..., 0]
+    y = c[..., 1]
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    sy = jnp.clip(y0, -D, H + D) - R + pad
+    sx = jnp.clip(x0, -D, W + D) - R + pad
+    ty = sy[:, P // 2, P // 2] - SPREAD
+    tx = ((sx[:, P // 2, P // 2] - SPREAD) // 8) * 8
+    oy = sy - ty[:, None, None]
+    ox = sx - tx[:, None, None]
+    ok = (oy >= 0) & (oy <= TY - D) & (ox >= 0) & (ox <= TX - D)
+    oy = jnp.clip(oy, 0, TY - D)
+    ox = jnp.clip(ox, 0, TX - D)
+    return x, y, x0, y0, ty, tx, oy, ox, ok
+
+
+def _finish_aligned(band, prep, E, P, R, D, vmask=None):
+    """Bilinear blend + reference window-order transpose for kernels whose
+    windows are already (oy, ox)-aligned at the tile origin.
+
+    `vmask` [E]: edges whose output block the kernel never wrote
+    (invalid/uncovered lattice cells). Those rows are UNINITIALIZED memory —
+    they must be killed with `where` (0 * garbage can be NaN/Inf)."""
+    x, y, x0, y0, _, _, _, _, ok = prep
+    m = ok.reshape(E, P, P)[..., None, None]
+    if vmask is not None:
+        m = m & vmask.reshape(E, 1, 1, 1, 1)
+    vol = band[..., :D].astype(jnp.float32).reshape(E, P, P, D, D)
+    vol = jnp.where(m, vol, 0.0)
+    fx = (x - x0.astype(jnp.float32))[..., None, None]
+    fy = (y - y0.astype(jnp.float32))[..., None, None]
+    d = 2 * R + 1
+    out = (
+        (1 - fy) * (1 - fx) * vol[..., :d, :d]
+        + (1 - fy) * fx * vol[..., :d, 1:]
+        + fy * (1 - fx) * vol[..., 1:, :d]
+        + fy * fx * vol[..., 1:, 1:]
+    )
+    out = jnp.swapaxes(out[..., None], -2, -3)[..., 0]
+    return out.reshape(E, P, P, d * d)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("r", "radius", "interpret", "prepadded", "hw")
+)
+def corr_lattice2(
+    gmap_r: jnp.ndarray,    # [MEM, M, P, P, C] gmap ring
+    fmap1: jnp.ndarray,     # [MEM, H, W, C]   level-1 ring
+    fmap2: jnp.ndarray,     # [MEM, H//4, W//4, C] level-2 ring
+    coords: jnp.ndarray,    # [NI, T, M, P, P, 2] lattice-ordered coords
+    cell_valid: jnp.ndarray,  # [NI, T] bool
+    n,                      # traced int32: live keyframe count
+    slotmap: jnp.ndarray,   # [L] int32 logical frame -> ring slot
+    r: int,                 # PATCH_LIFETIME (static)
+    radius: int = 3,
+    interpret: bool = False,
+    prepadded: bool = False,
+    hw=None,                # (H1, W1, H2, W2) when prepadded
+):
+    """Two-level correlation over the edge lattice (see vo/state.py).
+
+    Semantics identical to corr_pallas2 over the flat edge view, but the
+    lattice structure removes its per-update costs: no argsort/scatter of
+    60k edges, no unsort gather of the output, no XLA gather of 138MB of
+    patch features, and invalid cells cost ~nothing (skipped blocks).
+    Returns (corr1, corr2) as [NI*T*M, P, P, (2R+1)^2]."""
+    NI, T, M, P, _, _ = coords.shape
+    if prepadded:
+        MEM, C = fmap1.shape[0], fmap1.shape[3]
+        H1, W1, H2, W2 = hw
+    else:
+        MEM, H1, W1, C = fmap1.shape
+        _, H2, W2, _ = fmap2.shape
+    L = slotmap.shape[0]
+    R = radius
+    D = 2 * R + 2
+    PP = P * P
+    pad = 3 * D
+    E = NI * T * M
+    assert M % GANG == 0, "lattice kernel needs M % 8 == 0"
+
+    NTGT = NI + r - 2          # targets with any possibly-live cell
+    NB = NTGT * T
+
+    # ---- per-block tables (tiny; replaces the 60k sort machinery) ----
+    bidx = jnp.arange(NB, dtype=jnp.int32)
+    a = bidx // T
+    t = bidx % T
+    j = n - NTGT + a
+    i = j - t + (r - 1)
+    row = jnp.mod(i, NI)
+    # the row must actually hold host i under the current numbering
+    occupied = (n - 1 - jnp.mod(n - 1 - row, NI)) == i
+    cv = cell_valid[jnp.clip(row, 0, NI - 1), jnp.clip(t, 0, T - 1)]
+    valid = cv & occupied & (i >= 0) & (j >= 0) & (j <= n - 1)
+    slot_j = jnp.clip(slotmap[jnp.clip(j, 0, L - 1)], 0, MEM - 1)
+    gslot = jnp.clip(slotmap[jnp.clip(i, 0, L - 1)], 0, MEM - 1)
+    in_row = jnp.where(valid, row, 0)
+    out_row = jnp.where(valid, row, NI)
+    tabs = jnp.stack(
+        [in_row, t, slot_j, gslot, out_row], axis=1
+    ).astype(jnp.int32)
+
+    # ---- per-edge window geometry, in lattice order ----
+    cflat = coords.reshape(E, P, P, 2)
+    prep1 = _level_prep(cflat, H1, W1, P, R, D, pad)
+    prep2 = _level_prep(cflat / 4.0, H2, W2, P, R, D, pad)
+
+    def level_cols(prep):
+        _, _, _, _, ty, tx, oy, ox, _ = prep
+        return ty, tx, (oy * TX + ox).reshape(E, PP)
+
+    ty1, tx1, off1 = level_cols(prep1)
+    ty2, tx2, off2 = level_cols(prep2)
+    scal = jnp.concatenate(
+        [ty1[:, None], tx1[:, None], ty2[:, None], tx2[:, None], off1, off2],
+        axis=1,
+    ).astype(jnp.int32).reshape(NI, T, M, 4 + 2 * PP)
+
+    if prepadded:
+        fpad1, fpad2 = fmap1, fmap2
+    else:
+        fpad1 = _pad_ring(fmap1, pad)
+        fpad2 = _pad_ring(fmap2, pad)
+    Hp1, Wp1 = fpad1.shape[1], fpad1.shape[2]
+    Hp2, Wp2 = fpad2.shape[1], fpad2.shape[2]
+
+    gflat = gmap_r.reshape(MEM, M * PP, C)
+
+    band1, band2 = pl.pallas_call(
+        functools.partial(_kernel_lat, C=C, PP=PP, D=D, M=M, NI=NI),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(NB,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(
+                    (1, M * PP, C), lambda b, tb: (tb[b, 3], 0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, M, 4 + 2 * PP),
+                    lambda b, tb: (tb[b, 0], tb[b, 1], 0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (1, 1, M, PP, 1, D * TX),
+                    lambda b, tb: (tb[b, 4], tb[b, 1], 0, 0, 0, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, M, PP, 1, D * TX),
+                    lambda b, tb: (tb[b, 4], tb[b, 1], 0, 0, 0, 0),
+                ),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((Hp1, Wp1, C), fmap1.dtype),
+                pltpu.VMEM((Hp2, Wp2, C), fmap2.dtype),
+                pltpu.VMEM((GANG * 2 * TY * TX, C), fmap1.dtype),
+                pltpu.VMEM((GANG * PP, GANG * 2 * TY * TX), jnp.float32),
+                pltpu.SMEM((1,), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((NI + 1, T, M, PP, 1, D * TX), jnp.bfloat16),
+            jax.ShapeDtypeStruct((NI + 1, T, M, PP, 1, D * TX), jnp.bfloat16),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(tabs, fpad1, fpad2, gflat, scal)
+
+    # per-edge validity: cells the grid actually computed. Mirrors the tabs
+    # `valid` above, re-expressed per (row, t) cell; the extra j >= n-NTGT
+    # clause zeroes any (theoretically impossible) valid-but-uncovered cell
+    # instead of leaking uninitialized output memory.
+    i_row = jnp.arange(NI, dtype=jnp.int32)[:, None]
+    tt = jnp.arange(T, dtype=jnp.int32)[None, :]
+    i_host = n - 1 - jnp.mod(n - 1 - i_row, NI) + 0 * tt
+    j_tgt = i_host + tt - (r - 1)
+    cv = (
+        cell_valid & (i_host >= 0) & (j_tgt >= 0) & (j_tgt <= n - 1)
+        & (j_tgt >= n - NTGT)
+    )
+    vmask = jnp.broadcast_to(cv[:, :, None], (NI, T, M)).reshape(E)
+
+    b1 = band1[:NI].reshape(E, PP, D, TX)
+    b2 = band2[:NI].reshape(E, PP, D, TX)
+    return (_finish_aligned(b1, prep1, E, P, R, D, vmask),
+            _finish_aligned(b2, prep2, E, P, R, D, vmask))

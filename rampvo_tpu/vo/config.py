@@ -42,11 +42,21 @@ class VOConfig:
         return self.PATCHES_PER_FRAME
 
     @property
+    def NI(self) -> int:
+        # edge-lattice host rows: hosts hold edges while within
+        # REMOVAL_WINDOW (Ramp_vo.py:273-274); +3 slack so a reused row's
+        # previous occupant is always aged out
+        return self.REMOVAL_WINDOW + 3
+
+    @property
+    def T(self) -> int:
+        # edge-lattice target offsets: per host frame, M*(lifetime)
+        # backward + M*(lifetime-1) forward targets (Ramp_vo.py:312-325)
+        return 2 * self.PATCH_LIFETIME - 1
+
+    @property
     def EDGE_CAPACITY(self) -> int:
-        # per host frame: M*(lifetime) backward + M*(lifetime-1) forward
-        # (Ramp_vo.py:312-325); hosts live REMOVAL_WINDOW frames (+slack)
-        per_host = self.M * (2 * self.PATCH_LIFETIME - 1)
-        return per_host * (self.REMOVAL_WINDOW + 3)
+        return self.NI * self.T * self.M
 
     @property
     def POSE_WINDOW(self) -> int:

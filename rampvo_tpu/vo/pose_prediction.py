@@ -131,12 +131,15 @@ def predict_future_pose(slam, sec_to_pred_future, abs_time,
     n = int(st.n)
     next_frame_index = n  # the virtual frame's logical index
 
-    # ---- host copies of the live graph ----
-    valid = np.asarray(st.e_valid)
-    ii = np.asarray(st.ii)[valid]
-    jj = np.asarray(st.jj)[valid]
-    kk = np.asarray(st.kk)[valid]
-    weights = np.asarray(st.last_weight)[valid]
+    # ---- host copies of the live graph (flat view of the edge lattice) ----
+    from .state import edge_table
+
+    ii_a, jj_a, kk_a, valid_a = edge_table(cfg, st.n, st.cell_valid)
+    valid = np.asarray(valid_a)
+    ii = np.asarray(ii_a)[valid]
+    jj = np.asarray(jj_a)[valid]
+    kk = np.asarray(kk_a)[valid]
+    weights = np.asarray(st.last_weight).reshape(-1, 2)[valid]
     l2g = np.asarray(st.l2g)
     poses = np.array(st.poses)  # writable host copy
     patches = np.asarray(st.patches)

@@ -36,9 +36,9 @@ from ..models.vonet import (
     select_coords_random,
 )
 from ..ops.corr import avg_pool2d, corr as corr_xla, corr_region, corr_stack
-from ..ops.corr_pallas import corr_pallas2
+from ..ops.corr_pallas import GANG, corr_lattice2, corr_pallas2
 from .config import VOConfig
-from .state import VOState, init_state
+from .state import VOState, edge_table, host_of_row, init_state
 
 DIM = 384
 
@@ -142,6 +142,40 @@ def _reproject_edges(cfg: VOConfig, state: VOState, ii, jj, kk):
                            state.intrinsics)
 
 
+def _resolve_corr_impl(cfg: VOConfig) -> str:
+    impl = cfg.CORR_IMPL
+    if impl == "auto":
+        impl = "lattice" if jax.default_backend() == "tpu" else "xla"
+    if impl == "lattice" and cfg.M % GANG != 0:
+        impl = "pallas"  # lattice kernel gangs require M % 8 == 0
+    return impl
+
+
+def _edge_corr_ctx_lattice(cfg: VOConfig, state: VOState, ii, jj, kk):
+    """Correlation + context for the FULL edge set via the lattice kernel.
+
+    The flat edge view (edge_table) is lattice row-major, so reprojected
+    coords reshape directly to [NI, T, M, P, P, 2] and corr_lattice2 reads
+    the feature/gmap rings with no per-edge gather, sort, or unsort
+    (ref semantics: Ramp_vo.py:175-182)."""
+    M, MEM, NI, T = cfg.M, cfg.MEM, cfg.NI, cfg.T
+    P = state.gmap_r.shape[-3]
+    L = state.l2g.shape[0]
+
+    coords = _reproject_edges(cfg, state, ii, jj, kk)
+    c1, c2 = corr_lattice2(
+        state.gmap_r, state.fmap1_r, state.fmap2_r,
+        coords.reshape(NI, T, M, P, P, 2), state.cell_valid,
+        state.n, state.slotmap, cfg.PATCH_LIFETIME, 3,
+    )
+    corr_in = corr_stack(c1, c2).astype(jnp.float32)
+
+    slot_k = state.slotmap[jnp.clip(kk // M, 0, L - 1)]
+    gidx = jnp.clip(slot_k, 0, MEM - 1) * M + kk % M
+    ctx = state.imap_r.reshape(MEM * M, -1)[gidx].astype(jnp.float32)
+    return coords, corr_in, ctx
+
+
 def _edge_corr_ctx(cfg: VOConfig, state: VOState, ii, jj, kk):
     """Correlation features + context for an edge set
     (ref: Ramp_vo.py:175-182, net ctx gather :282)."""
@@ -162,12 +196,10 @@ def _edge_corr_ctx(cfg: VOConfig, state: VOState, ii, jj, kk):
     slot_j = jnp.clip(state.slotmap[jnp.clip(jj, 0, L - 1)], 0, MEM - 1)
 
     gmap_flat = state.gmap_r.reshape(MEM * M, P, P, 128)
-    impl = cfg.CORR_IMPL
-    if impl == "auto":
-        import jax as _jax
-
-        impl = "pallas" if _jax.default_backend() == "tpu" else "xla"
-    if impl == "pallas":
+    impl = _resolve_corr_impl(cfg)
+    if impl in ("pallas", "lattice"):
+        # the lattice kernel only fits the full edge set; arbitrary edge
+        # lists (the motion probe) use the sorted-group kernel
         c1, c2 = corr_pallas2(
             gmap_flat, state.fmap1_r, state.fmap2_r, coords, gidx, slot_j, 3
         )
@@ -205,43 +237,38 @@ def _probe_median(cfg: VOConfig, update_fn, params, state: VOState):
 
 def _append_edges(cfg: VOConfig, state: VOState) -> VOState:
     """Add forward/backward factors for the newly committed frame
-    (ref: Ramp_vo.py:194-201,312-325). Called AFTER n was advanced."""
-    M, r = cfg.M, cfg.PATCH_LIFETIME
+    (ref: Ramp_vo.py:194-201,312-325). Called AFTER n was advanced.
+
+    Lattice formulation: the new frame nf = n-1 takes host row nf % NI;
+    backward edges fill its cells t in [0, r-1] (targets [n-r, n-1]),
+    forward edges add one cell t = nf - i + (r-1) to each older host row
+    — static-pattern writes instead of the reference's list concatenation
+    (and instead of a 60k free-slot argsort per frame)."""
+    M, r, NI, T = cfg.M, cfg.PATCH_LIFETIME, cfg.NI, cfg.T
     n = state.n
+    nf = n - 1
+    rf = jnp.mod(nf, NI)
 
-    # forward: patches of frames [n-r, n-1) -> new frame n-1
-    of = jnp.arange(M * (r - 1), dtype=jnp.int32)
-    kk_f = M * (n - 1) - M * (r - 1) + of
-    ii_f = kk_f // M
-    jj_f = jnp.full_like(kk_f, n - 1)
-    ok_f = kk_f >= 0
+    # the reused row's previous occupant (host nf - NI) aged out: clear it
+    cell_valid = state.cell_valid.at[rf].set(False)
+    net = state.net.at[rf].set(0.0)
+    lw = state.last_weight.at[rf].set(0.0)
 
-    # backward: patches of frame n-1 -> frames [n-r, n)
-    t = jnp.arange(r, dtype=jnp.int32)
-    p = jnp.arange(M, dtype=jnp.int32)
-    kk_b = (M * (n - 1) + p[:, None] + 0 * t[None, :]).reshape(-1)
-    jj_b = ((n - r) + t[None, :] + 0 * p[:, None]).reshape(-1)
-    ii_b = jnp.full_like(kk_b, n - 1)
-    ok_b = jj_b >= 0
+    # backward: host nf -> targets [n-r, n-1]
+    tb = jnp.arange(r, dtype=jnp.int32)
+    ok_b = (nf + tb - (r - 1)) >= 0
+    cell_valid = cell_valid.at[rf, :r].set(ok_b)
 
-    new_ii = jnp.concatenate([ii_f, ii_b])
-    new_jj = jnp.concatenate([jj_f, jj_b])
-    new_kk = jnp.concatenate([kk_f, kk_b])
-    new_ok = jnp.concatenate([ok_f, ok_b])
-    E_new = new_ii.shape[0]
+    # forward: hosts [n-r, n-2] -> target nf
+    hosts = nf - 1 - jnp.arange(r - 1, dtype=jnp.int32)
+    tf = nf - hosts + (r - 1)
+    ok_f = hosts >= 0
+    rows = jnp.where(ok_f, jnp.mod(hosts, NI), NI)
+    cell_valid = cell_valid.at[rows, tf].set(True, mode="drop")
+    net = net.at[rows, tf].set(0.0, mode="drop")
+    lw = lw.at[rows, tf].set(0.0, mode="drop")
 
-    # first-fit free slots (stable sort: free slots first, in slot order)
-    slots = jnp.argsort(state.e_valid)[:E_new]
-    zeros = jnp.zeros((E_new, DIM), state.net.dtype)
-
-    return state.replace(
-        ii=state.ii.at[slots].set(new_ii),
-        jj=state.jj.at[slots].set(new_jj),
-        kk=state.kk.at[slots].set(new_kk),
-        e_valid=state.e_valid.at[slots].set(new_ok),
-        net=state.net.at[slots].set(zeros),
-        last_weight=state.last_weight.at[slots].set(0.0),
-    )
+    return state.replace(cell_valid=cell_valid, net=net, last_weight=lw)
 
 
 def _update(cfg: VOConfig, update_fn, params, state: VOState,
@@ -259,17 +286,22 @@ def _update(cfg: VOConfig, update_fn, params, state: VOState,
     n = state.n
     hw4 = (state.fmap1_r.shape[1], state.fmap1_r.shape[2])
 
-    ii, jj, kk, valid = state.ii, state.jj, state.kk, state.e_valid
+    ii, jj, kk, valid = edge_table(cfg, n, state.cell_valid)
+    net_flat = state.net.reshape(-1, DIM)
 
     if oracle is None:
-        coords, corr_in, ctx = _edge_corr_ctx(cfg, state, ii, jj, kk)
-        net, (delta, weight) = update_fn(
-            params, state.net, ctx, corr_in, ii, jj, kk, valid
+        if _resolve_corr_impl(cfg) == "lattice":
+            coords, corr_in, ctx = _edge_corr_ctx_lattice(
+                cfg, state, ii, jj, kk
+            )
+        else:
+            coords, corr_in, ctx = _edge_corr_ctx(cfg, state, ii, jj, kk)
+        net_flat, (delta, weight) = update_fn(
+            params, net_flat, ctx, corr_in, ii, jj, kk, valid
         )
     else:
         coords = _reproject_edges(cfg, state, ii, jj, kk)
         delta, weight = oracle(state, ii, jj, kk, coords)
-        net = state.net
 
     target = coords[:, P // 2, P // 2, :] + delta
     weight = filter_features(weight, target, hw4)
@@ -303,44 +335,47 @@ def _update(cfg: VOConfig, update_fn, params, state: VOState,
     )
 
     return state.replace(
-        net=net, last_weight=weight, poses=poses, patches=patches
+        net=net_flat.reshape(state.net.shape),
+        last_weight=weight.reshape(state.last_weight.shape),
+        poses=poses, patches=patches,
     )
 
 
 def _keyframe(cfg: VOConfig, state: VOState) -> VOState:
     """Evict a redundant keyframe and age out old edges
-    (ref: Ramp_vo.py:237-274). Branchless."""
-    M, L, MEM = cfg.M, cfg.BUFFER_SIZE, cfg.MEM
+    (ref: Ramp_vo.py:237-274). Branchless except the eviction remap
+    (lax.cond — only eviction frames pay for moving lattice rows)."""
+    M, L, MEM, NI, T = cfg.M, cfg.BUFFER_SIZE, cfg.MEM, cfg.NI, cfg.T
+    r = cfg.PATCH_LIFETIME
     F = state.poses.shape[0]
     n = state.n
     i = n - cfg.KEYFRAME_INDEX - 1
     j = n - cfg.KEYFRAME_INDEX + 1
 
-    # motion magnitude between logical frames i and j (both directions).
-    # only edges with matching endpoints matter — at most M per direction —
-    # so gather those instead of transforming the whole table
-    E_cap = state.ii.shape[0]
-
-    def masked_mean(a, b):
-        sel = state.e_valid & (state.ii == a) & (state.jj == b)
-        (idx,) = jnp.nonzero(sel, size=M, fill_value=E_cap)
-        ok = idx < E_cap
-        idc = jnp.clip(idx, 0, E_cap - 1)
-        ii_s, jj_s, kk_s = state.ii[idc], state.jj[idc], state.kk[idc]
-        poses_i = state.poses[
-            jnp.clip(state.l2g[jnp.clip(ii_s, 0, L - 1)], 0, F - 1)
-        ]
-        poses_j = state.poses[
-            jnp.clip(state.l2g[jnp.clip(jj_s, 0, L - 1)], 0, F - 1)
-        ]
-        rows = jnp.clip(_patch_rows(state, kk_s, M), 0, F * M - 1)
+    # motion magnitude between logical frames a and b (both directions):
+    # the (a, b) edges are exactly one lattice cell — a direct slice
+    # (the unstructured table needed a 60k nonzero search here)
+    def cell_mean(a, b):
+        row = jnp.mod(a, NI)
+        t = b - a + (r - 1)
+        ok = (
+            state.cell_valid[row, jnp.clip(t, 0, T - 1)]
+            & (t >= 0) & (t < T)
+            & (host_of_row(row, n, NI) == a)
+        )
+        pa = _gather_pose(state, a)
+        pb = _gather_pose(state, b)
+        rows = jnp.clip(
+            _patch_rows(state, a * M + jnp.arange(M, dtype=jnp.int32), M),
+            0, F * M - 1,
+        )
         flow = flow_mag_edges(
-            poses_i, poses_j, state.patches[rows], state.intrinsics, beta=0.5
-        ).mean(axis=(-1, -2))
-        w = ok.astype(flow.dtype)
-        return jnp.sum(flow * w) / jnp.maximum(jnp.sum(w), 1.0)
+            jnp.broadcast_to(pa, (M, 7)), jnp.broadcast_to(pb, (M, 7)),
+            state.patches[rows], state.intrinsics, beta=0.5,
+        ).mean()
+        return jnp.where(ok, flow, 0.0)
 
-    m = 0.5 * (masked_mean(i, j) + masked_mean(j, i))
+    m = 0.5 * (cell_mean(i, j) + cell_mean(j, i))
     evict = m < cfg.KEYFRAME_THRESH
     k = n - cfg.KEYFRAME_INDEX
 
@@ -355,13 +390,35 @@ def _keyframe(cfg: VOConfig, state: VOState) -> VOState:
     delta_parent = state.delta_parent.at[didx].set(t0g, mode="drop")
     delta_dP = state.delta_dP.at[didx].set(dP, mode="drop")
 
-    # edge removal + index shift (ref: Ramp_vo.py:251-256)
-    rm = evict & ((state.ii == k) | (state.jj == k))
-    e_valid = state.e_valid & ~rm
-    shift_i = evict & (state.ii > k)
-    ii = jnp.where(shift_i, state.ii - 1, state.ii)
-    kk = jnp.where(shift_i, state.kk - M, state.kk)
-    jj = jnp.where(evict & (state.jj > k), state.jj - 1, state.jj)
+    # edge removal + index shift (ref: Ramp_vo.py:251-256). The reference
+    # renumbers ii/jj/kk in place; with derived lattice indices the shift
+    # becomes a row/cell remap: new cell (i', t') pulls from old cell
+    # (i mod NI, j - i + r - 1) with i = i' + (i' >= k), j = j' + (j' >= k)
+    n_new = n - evict.astype(jnp.int32)
+
+    def remap(args):
+        cv, net, lw = args
+        i_row = jnp.arange(NI, dtype=jnp.int32)[:, None]
+        tt = jnp.arange(T, dtype=jnp.int32)[None, :]
+        i_new = host_of_row(i_row, n_new, NI) + 0 * tt
+        j_new = i_new + tt - (r - 1)
+        i_old = i_new + (i_new >= k).astype(jnp.int32)
+        j_old = j_new + (j_new >= k).astype(jnp.int32)
+        t_old = j_old - i_old + (r - 1)
+        okc = (
+            (t_old >= 0) & (t_old < T) & (i_old != k) & (j_old != k)
+            & (i_old >= 0)
+        )
+        src = jnp.mod(i_old, NI) * T + jnp.clip(t_old, 0, T - 1)
+        cv2 = (cv.reshape(NI * T)[src] & okc).reshape(NI, T)
+        net2 = net.reshape(NI * T, M, -1)[src].reshape(net.shape)
+        lw2 = lw.reshape(NI * T, M, 2)[src].reshape(lw.shape)
+        return cv2, net2, lw2
+
+    cell_valid, net, lw = jax.lax.cond(
+        evict, remap, lambda a: a,
+        (state.cell_valid, state.net, state.last_weight),
+    )
 
     # map shifts (replaces the reference's physical buffer moves :258-268)
     idx = jnp.arange(L)
@@ -373,13 +430,12 @@ def _keyframe(cfg: VOConfig, state: VOState) -> VOState:
     ].set(True, mode="drop")
     slotmap = jnp.where(evict & (idx >= k), jnp.roll(state.slotmap, -1), state.slotmap)
 
-    n = n - evict.astype(jnp.int32)
-
     # age out edges whose host patch frame left the removal window (:273-274)
-    e_valid = e_valid & (kk // M >= n - cfg.REMOVAL_WINDOW)
+    host_row = host_of_row(jnp.arange(NI, dtype=jnp.int32), n_new, NI)
+    cell_valid = cell_valid & (host_row >= n_new - cfg.REMOVAL_WINDOW)[:, None]
 
     return state.replace(
-        ii=ii, jj=jj, kk=kk, e_valid=e_valid, n=n,
+        cell_valid=cell_valid, net=net, last_weight=lw, n=n_new,
         l2g=l2g, slotmap=slotmap, slot_free=slot_free,
         delta_parent=delta_parent, delta_dP=delta_dP,
     )

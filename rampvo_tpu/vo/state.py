@@ -12,8 +12,13 @@ functional design built for XLA:
     slot, with a free-list (`slot_free`) replacing the reference's
     `n % mem` ring + shift.
   * the dynamic edge lists ii/jj/kk/net (Ramp_vo.py:92-94,200) become a
-    fixed-capacity table with a validity mask; append = scatter into free
-    slots, remove = mask clear.
+    fixed-shape EDGE LATTICE [NI hosts, T offsets, M patches]: an edge is
+    (host frame i, target j = i + t - (r-1), patch m), stored at row
+    i mod NI. ii/jj/kk are pure index arithmetic (edge_table), appends are
+    static cell writes, and grouping by target — what the correlation
+    kernel needs — is an affine block mapping instead of a 60k argsort +
+    scatter + unsort-gather per update. Only `cell_valid` [NI, T] and the
+    per-edge recurrent state are stored.
   * trajectory interpolation deltas (Ramp_vo.py:100,155-160) are stored in
     device arrays (parent id + relative SE3), so the hot loop never syncs
     with the host; `terminate()` reads them back once.
@@ -50,13 +55,10 @@ class VOState:
     fmap1_r: jnp.ndarray      # [MEM, h, w, 128]
     fmap2_r: jnp.ndarray      # [MEM, h//4, w//4, 128]
 
-    # ---- edge table ----
-    ii: jnp.ndarray           # [E] int32 source (host) logical frame
-    jj: jnp.ndarray           # [E] int32 target logical frame
-    kk: jnp.ndarray           # [E] int32 logical patch id (= host*M + off)
-    e_valid: jnp.ndarray      # [E] bool
-    net: jnp.ndarray          # [E, DIM] hidden state
-    last_weight: jnp.ndarray  # [E, 2]
+    # ---- edge lattice [NI, T, M] (see module docstring) ----
+    cell_valid: jnp.ndarray   # [NI, T] bool
+    net: jnp.ndarray          # [NI, T, M, DIM] hidden state
+    last_weight: jnp.ndarray  # [NI, T, M, 2]
 
     # ---- encoder recurrent state ----
     enc: Any
@@ -69,10 +71,48 @@ class VOState:
     rng: jnp.ndarray          # PRNG key
 
 
+def host_of_row(i_row, n, NI: int):
+    """Logical host frame held by lattice row i_row when n keyframes are
+    live: the unique i in (n-1-NI, n-1] with i === i_row (mod NI).
+    May be negative (row unoccupied) early in the sequence."""
+    return n - 1 - jnp.mod(n - 1 - i_row, NI)
+
+
+def edge_table(cfg: VOConfig, n, cell_valid):
+    """Derive the flat (ii, jj, kk, valid) edge view of the lattice.
+
+    Replaces the reference's stored ii/jj/kk lists (Ramp_vo.py:92-94) with
+    pure index arithmetic over the [NI, T, M] lattice; row-major flat order.
+    """
+    NI, T, M = cfg.NI, cfg.T, cfg.M
+    r = cfg.PATCH_LIFETIME
+    i_row = jnp.arange(NI, dtype=jnp.int32)[:, None, None]
+    t = jnp.arange(T, dtype=jnp.int32)[None, :, None]
+    m = jnp.arange(M, dtype=jnp.int32)[None, None, :]
+    ii = jnp.broadcast_to(host_of_row(i_row, n, NI) + 0 * t + 0 * m,
+                          (NI, T, M))
+    jj = ii + (t - (r - 1))
+    kk = ii * M + m
+    valid = (
+        cell_valid[:, :, None]
+        & (ii >= 0) & (jj >= 0) & (ii <= n - 1) & (jj <= n - 1)
+    )
+    E = NI * T * M
+    valid = jnp.broadcast_to(valid, (NI, T, M))
+    # sanitize invalid rows: derived indices can be far out of range and
+    # jnp.take's default fill mode would turn them into NaN poses inside
+    # consumers (weight-gating does not stop 0 * NaN)
+    ii = jnp.where(valid, ii, 0)
+    jj = jnp.where(valid, jj, 0)
+    kk = jnp.where(valid, kk, 0)
+    return ii.reshape(E), jj.reshape(E), kk.reshape(E), valid.reshape(E)
+
+
 def init_state(cfg: VOConfig, enc_state, ht: int, wd: int, P: int = 3,
                dim: int = 384) -> VOState:
     """ht, wd: full input resolution; feature maps live at 1/4."""
-    F, L, M, E = cfg.MAX_FRAMES, cfg.BUFFER_SIZE, cfg.M, cfg.EDGE_CAPACITY
+    F, L, M = cfg.MAX_FRAMES, cfg.BUFFER_SIZE, cfg.M
+    NI, T = cfg.NI, cfg.T
     MEM = cfg.MEM
     h, w = ht // 4, wd // 4
     fdt = jnp.bfloat16 if cfg.MIXED_PRECISION else jnp.float32
@@ -91,12 +131,9 @@ def init_state(cfg: VOConfig, enc_state, ht: int, wd: int, P: int = 3,
         gmap_r=jnp.zeros((MEM, M, P, P, 128), fdt),
         fmap1_r=jnp.zeros((MEM, h, w, 128), fdt),
         fmap2_r=jnp.zeros((MEM, h // 4, w // 4, 128), fdt),
-        ii=jnp.zeros((E,), jnp.int32),
-        jj=jnp.zeros((E,), jnp.int32),
-        kk=jnp.zeros((E,), jnp.int32),
-        e_valid=jnp.zeros((E,), bool),
-        net=jnp.zeros((E, dim), jnp.float32),
-        last_weight=jnp.zeros((E, 2), jnp.float32),
+        cell_valid=jnp.zeros((NI, T), bool),
+        net=jnp.zeros((NI, T, M, dim), jnp.float32),
+        last_weight=jnp.zeros((NI, T, M, 2), jnp.float32),
         enc=enc_state,
         n=jnp.int32(0),
         counter=jnp.int32(0),

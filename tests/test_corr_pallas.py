@@ -10,7 +10,7 @@ import numpy as np
 import pytest
 
 from rampvo_tpu.ops.corr import corr
-from rampvo_tpu.ops.corr_pallas import corr_pallas, corr_pallas2
+from rampvo_tpu.ops.corr_pallas import corr_lattice2, corr_pallas, corr_pallas2
 
 
 def make_problem(seed=0, E=120, P=3, C=128, H=40, W=64, MEM=4, Mg=32):
@@ -60,3 +60,55 @@ class TestCorrPallas:
             np.asarray(b[:, 1:, :, :]), np.asarray(a[:, 1:, :, :]),
             atol=5e-3 * float(jnp.abs(a).max()),
         )
+
+
+class TestCorrLattice:
+    def test_lattice_matches_xla(self):
+        """corr_lattice2 on a synthetic lattice == corr over the flat
+        edge view, for valid cells (invalid cells are undefined)."""
+        rng = np.random.RandomState(3)
+        NI, T, M, P, C = 5, 7, 8, 3, 128
+        MEM, H, W = 6, 40, 64
+        r = (T + 1) // 2
+        n = 9
+        gmap_r = jnp.asarray(rng.rand(MEM, M, P, P, C), jnp.float32)
+        fmap1 = jnp.asarray(rng.rand(MEM, H, W, C), jnp.float32)
+        fmap2 = jnp.asarray(rng.rand(MEM, H // 4, W // 4, C), jnp.float32)
+        cen = rng.rand(NI, T, M, 1, 1, 2) * np.array([W + 12, H + 12]) - 6
+        off = rng.rand(NI, T, M, P, P, 2) * 4 - 2
+        coords = jnp.asarray(cen + off, jnp.float32)
+        # valid cells: host alive & j in range (mimics edge_table rules)
+        i_row = np.arange(NI)[:, None]
+        tt = np.arange(T)[None, :]
+        i = n - 1 - np.mod(n - 1 - i_row, NI) + 0 * tt
+        j = i + tt - (r - 1)
+        cell_valid = jnp.asarray(
+            (i >= 0) & (j >= 0) & (j <= n - 1) & (rng.rand(NI, T) < 0.7)
+        )
+        slotmap = jnp.asarray(rng.randint(0, MEM, 64), jnp.int32)
+
+        c1, c2 = corr_lattice2(
+            gmap_r, fmap1, fmap2, coords, cell_valid,
+            jnp.int32(n), slotmap, r, 3, interpret=True,
+        )
+
+        # flat oracle
+        ii = jnp.asarray(np.broadcast_to(i[:, :, None], (NI, T, M)).reshape(-1))
+        jj = jnp.asarray(np.broadcast_to(j[:, :, None], (NI, T, M)).reshape(-1))
+        m_ = np.broadcast_to(np.arange(M)[None, None, :], (NI, T, M)).reshape(-1)
+        v = np.broadcast_to(np.asarray(cell_valid)[:, :, None],
+                            (NI, T, M)).reshape(-1)
+        L = 64
+        slot_j = jnp.clip(slotmap[jnp.clip(jj, 0, L - 1)], 0, MEM - 1)
+        gslot = jnp.clip(slotmap[jnp.clip(ii, 0, L - 1)], 0, MEM - 1)
+        gidx = gslot * M + jnp.asarray(m_)
+        cflat = coords.reshape(-1, P, P, 2)
+        a1 = corr(gmap_r.reshape(MEM * M, P, P, C), fmap1, cflat, gidx, slot_j, 3)
+        a2 = corr(gmap_r.reshape(MEM * M, P, P, C), fmap2, cflat / 4.0,
+                  gidx, slot_j, 3)
+        scale = float(jnp.abs(a1).max())
+        vb = jnp.asarray(v)[:, None, None, None]
+        d1 = float(jnp.abs(jnp.where(vb, a1 - c1, 0.0)).max())
+        d2 = float(jnp.abs(jnp.where(vb, a2 - c2, 0.0)).max())
+        assert d1 / scale < 5e-3, d1
+        assert d2 / scale < 5e-3, d2

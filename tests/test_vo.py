@@ -15,7 +15,7 @@ import pytest
 from rampvo_tpu.models import VONet
 from rampvo_tpu.vo import RampVO, VOConfig
 from rampvo_tpu.vo.runtime import _append_edges, _keyframe
-from rampvo_tpu.vo.state import init_state
+from rampvo_tpu.vo.state import edge_table, init_state
 from rampvo_tpu.models.encoders import MultiScaleEncoder
 
 H, W = 64, 96
@@ -74,21 +74,23 @@ class TestEdgeTable:
         st = self._fresh_state(1)
         st = _append_edges(CFG, st)
         M = CFG.M
-        v = np.asarray(st.e_valid)
+        ii_a, jj_a, kk_a, v = (np.asarray(x) for x in
+                               edge_table(CFG, st.n, st.cell_valid))
         assert v.sum() == M  # only the M backward self-edges (jj=0)
-        ii = np.asarray(st.ii)[v]
-        jj = np.asarray(st.jj)[v]
+        ii = ii_a[v]
+        jj = jj_a[v]
         assert set(ii) == {0} and set(jj) == {0}
 
     def test_append_steady_state(self):
         st = self._fresh_state(5)
         st = _append_edges(CFG, st)
         M, r = CFG.M, CFG.PATCH_LIFETIME
-        v = np.asarray(st.e_valid)
+        ii_a, jj_a, kk_a, v = (np.asarray(x) for x in
+                               edge_table(CFG, st.n, st.cell_valid))
         # forward: hosts n-r..n-2 (2 frames) + backward: r targets
         assert v.sum() == M * (r - 1) + M * r
-        kk = np.asarray(st.kk)[v]
-        ii = np.asarray(st.ii)[v]
+        kk = kk_a[v]
+        ii = ii_a[v]
         assert np.all(kk // M == ii)
         assert ii.min() == 5 - r and ii.max() == 4
 
@@ -101,9 +103,10 @@ class TestEdgeTable:
         st2 = _keyframe(cfg_evict, st)
         assert int(st2.n) == before_n - 1
         k = before_n - cfg_evict.KEYFRAME_INDEX
-        v2 = np.asarray(st2.e_valid)
-        ii2 = np.asarray(st2.ii)[v2]
-        jj2 = np.asarray(st2.jj)[v2]
+        ii2_a, jj2_a, _kk2, v2 = (np.asarray(x) for x in
+                                  edge_table(cfg_evict, st2.n, st2.cell_valid))
+        ii2 = ii2_a[v2]
+        jj2 = jj2_a[v2]
         assert k not in set(ii2) or True  # edges at k removed; shifted others
         # l2g shifted: logical k now maps to old k+1's global
         l2g_before = np.asarray(st.l2g)
@@ -120,8 +123,9 @@ class TestEdgeTable:
         st2 = _keyframe(cfg_keep, st)
         assert int(st2.n) == int(st.n)
         # aging still applies
-        v2 = np.asarray(st2.e_valid)
-        kk2 = np.asarray(st2.kk)[v2]
+        _ii2, _jj2, kk2_a, v2 = (np.asarray(x) for x in
+                                 edge_table(cfg_keep, st2.n, st2.cell_valid))
+        kk2 = kk2_a[v2]
         assert np.all(kk2 // CFG.M >= int(st2.n) - cfg_keep.REMOVAL_WINDOW)
 
 
@@ -183,7 +187,9 @@ class TestLongRunStability:
         n = int(st.n)
         assert int(st.counter) == 60
         assert n < 60  # evictions happened
-        assert np.asarray(st.e_valid).sum() <= cfg.EDGE_CAPACITY
+        _ii, _jj, _kk, v = (np.asarray(x) for x in
+                            edge_table(cfg, st.n, st.cell_valid))
+        assert v.sum() <= cfg.EDGE_CAPACITY
         # every live logical frame maps to a distinct global id
         l2g = np.asarray(st.l2g[:n])
         assert len(set(l2g.tolist())) == n
