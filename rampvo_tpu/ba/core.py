@@ -159,7 +159,8 @@ def _solve_schur(B, E, C, v, u, lmbda, ep, lm, structure_only, n_dyn):
     return dX.reshape(N, 6), dZ
 
 
-def _assemble(r, w, Ji, Jj, Jz, i_slot, j_slot, k_slot, N, M):
+def _assemble(r, w, Ji, Jj, Jz, i_slot, j_slot, k_slot, N, M,
+              lattice=None, win_rows=None):
     """Assemble the dense normal equations.
 
     r [E,2] residual, w [E,2] gated weights, Ji/Jj [E,2,6], Jz [E,2].
@@ -170,6 +171,13 @@ def _assemble(r, w, Ji, Jj, Jz, i_slot, j_slot, k_slot, N, M):
     the pose-slot axis with one-hots (out-of-window slots land in a dump
     column) and the whole Hessian becomes ONE MXU matmul
     B = (wU)^T U over [2E, 6(N+1)] — ~3x faster at E≈60k.
+
+    `lattice=(NI, T, Mp)` (static) with `win_rows [M // Mp]`: the edges
+    arrive in edge-lattice row-major order and a patch track is one
+    (row, m) — the per-patch reduction becomes a dense sum over the t axis
+    plus a gather of the window frames' lattice rows (win_rows[wq] = lattice
+    row holding window frame wq, or -1), replacing the E-row segment_sum
+    scatter entirely.
 
     Returns dense B [6N,6N], E [6N,M], C [M], v [6N], u [M], touched [M].
     """
@@ -193,18 +201,30 @@ def _assemble(r, w, Ji, Jj, Jz, i_slot, j_slot, k_slot, N, M):
     B_full = Uw2.T @ U2                       # [6(N+1), 6(N+1)]
     v_full = Uw2.T @ r.reshape(E_ * 2)        # [6(N+1)]
 
-    # E, C, u, touched share the kk index: one scatter of stacked features
+    # E, C, u, touched share the kk index: one reduction of stacked features
     Erow = jnp.einsum("erm,er->em", Uw, Jz)   # [E, 6(N+1)]
     Ck = jnp.einsum("er,er->e", w * Jz, Jz)
     uk = jnp.einsum("er,er->e", w * Jz, r)
-    vk_ok = (k_slot >= 0) & (k_slot < M)
     feats = jnp.concatenate(
         [Erow, Ck[:, None], uk[:, None], w.sum(-1, keepdims=True)], axis=-1
     )
-    feats = jnp.where(vk_ok[:, None], feats, 0.0)
-    agg = jax.ops.segment_sum(
-        feats, jnp.where(vk_ok, k_slot, M), num_segments=M + 1
-    )[:M]
+    F = feats.shape[-1]
+    if lattice is not None:
+        # gated-invalid edges contribute exact zeros (w == 0 and finite
+        # Jacobians), so the t-axis sum needs no extra masking
+        NI, T, Mp = lattice
+        assert M == win_rows.shape[0] * Mp
+        cell = feats.reshape(NI, T, Mp, F).sum(axis=1)     # [NI, Mp, F]
+        ok = (win_rows >= 0)[:, None, None]
+        agg = jnp.where(
+            ok, cell[jnp.clip(win_rows, 0, NI - 1)], 0.0
+        ).reshape(M, F)
+    else:
+        vk_ok = (k_slot >= 0) & (k_slot < M)
+        feats = jnp.where(vk_ok[:, None], feats, 0.0)
+        agg = jax.ops.segment_sum(
+            feats, jnp.where(vk_ok, k_slot, M), num_segments=M + 1
+        )[:M]
     Emat = agg[:, : Np1 * 6].T[: 6 * N]       # [6N, M]
     C, u, touched = agg[:, -3], agg[:, -2], agg[:, -1] > 0
 
@@ -284,7 +304,7 @@ def ba_train(
 
 @partial(
     jax.jit,
-    static_argnames=("N", "M", "iterations", "structure_only"),
+    static_argnames=("N", "M", "iterations", "structure_only", "lattice"),
 )
 def ba_infer(
     poses,  # [Np, 7] full pose buffer (SE3 data)
@@ -304,6 +324,8 @@ def ba_infer(
     iterations: int = 2,
     valid=None,  # [E] bool edge mask
     structure_only: bool = False,
+    lattice=None,   # (NI, T, Mp) static: edges are the full edge lattice
+    win_rows=None,  # [M // Mp] lattice row holding each window frame (-1)
 ):
     """Inference GN BA, ref: ramp/fastba/ba_cuda.cu:232-376,430-576.
 
@@ -336,7 +358,10 @@ def ba_infer(
 
         i_slot = ii - t0
         j_slot = jj - t0
-        Bm, Em, C, v, u, touched = _assemble(rg, w, Ji, Jj, Jz, i_slot, j_slot, kk, N, M)
+        Bm, Em, C, v, u, touched = _assemble(
+            rg, w, Ji, Jj, Jz, i_slot, j_slot, kk, N, M,
+            lattice=lattice, win_rows=win_rows,
+        )
         dX, dZ = _solve_schur(Bm, Em, C, v, u, lmbda, 1.0, 1e-4, structure_only, n_dyn)
 
         # pose retraction on slots [0, t1-t0)

@@ -77,11 +77,33 @@ class SoftAgg(nn.Module):
     dim: int
 
     @nn.compact
-    def __call__(self, x, ix, valid=None):
+    def __call__(self, x, ix, valid=None, lattice=None, axis=None):
         E = x.shape[0]
         f = nn.Dense(self.dim, name="f")
         g = nn.Dense(self.dim, name="g")
         h = nn.Dense(self.dim, name="h")
+
+        if lattice is not None:
+            # dense formulation over the edge lattice [NI, T, M]: groups are
+            # whole lattice axes (patch track kk -> axis 1, frame pair
+            # ii/jj -> axis 2), so the softmax-pool is a masked reduction —
+            # no compact_ids sort, no segment scatter, no unsort gather.
+            NI, T, M = lattice
+            xl = x.reshape(NI, T, M, x.shape[-1])
+            vl = (
+                jnp.ones((NI, T, M, 1), bool) if valid is None
+                else valid.reshape(NI, T, M, 1)
+            )
+            gx = g(xl)
+            mx = jnp.max(jnp.where(vl, gx, -jnp.inf), axis=axis, keepdims=True)
+            mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
+            ex = jnp.where(vl, jnp.exp(gx - mx), 0.0)
+            denom = jnp.maximum(
+                jnp.sum(ex, axis=axis, keepdims=True), 1e-20
+            )
+            y = jnp.sum(f(xl) * (ex / denom), axis=axis, keepdims=True)
+            out = jnp.broadcast_to(h(y), xl.shape)
+            return out.reshape(E, x.shape[-1])
 
         jx = compact_ids(ix.astype(jnp.int32), capacity=E)
         w = segment_softmax(g(x), jx, num_segments=E, valid=valid)

@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..ops.neighbors import neighbors
+from ..ops.neighbors import lattice_neighbors, neighbors
 from .blocks import GatedResidual, SoftAgg, grad_clip
 
 DIM = 384  # net.py:31
@@ -23,7 +23,11 @@ class Update(nn.Module):
     patch_size: int = 3
 
     @nn.compact
-    def __call__(self, net, inp, corr, ii, jj, kk, valid=None):
+    def __call__(self, net, inp, corr, ii, jj, kk, valid=None, lattice=None):
+        """`lattice=(NI, T, M)` (static): the edge set is the full lattice in
+        row-major order — neighbour indices and both SoftAgg groups become
+        dense lattice operations (axis reductions) instead of three
+        E-element sorts per call. Numerics identical to the flat path."""
         p = self.patch_size
         ln = lambda name: nn.LayerNorm(epsilon=1e-3, name=name)
 
@@ -42,14 +46,28 @@ class Update(nn.Module):
         net = net + inp + corr_mlp(corr)
         net = ln("norm")(net)
 
-        ix, jx = neighbors(kk, jj, valid=valid)
+        if lattice is not None:
+            NI, T, M = lattice
+            cellv = (
+                None if valid is None
+                else valid.reshape(NI, T, M)[:, :, 0]
+            )
+            if cellv is None:
+                cellv = jnp.ones((NI, T), bool)
+            ix, jx = lattice_neighbors(cellv, NI, T, M)
+        else:
+            ix, jx = neighbors(kk, jj, valid=valid)
         mask_ix = (ix >= 0).astype(net.dtype)[:, None]
         mask_jx = (jx >= 0).astype(net.dtype)[:, None]
         net = net + c1(mask_ix * net[ix])
         net = net + c2(mask_jx * net[jx])
 
-        net = net + SoftAgg(DIM, name="agg_kk")(net, kk, valid=valid)
-        net = net + SoftAgg(DIM, name="agg_ij")(net, ii * 12345 + jj, valid=valid)
+        net = net + SoftAgg(DIM, name="agg_kk")(
+            net, kk, valid=valid, lattice=lattice, axis=1
+        )
+        net = net + SoftAgg(DIM, name="agg_ij")(
+            net, ii * 12345 + jj, valid=valid, lattice=lattice, axis=2
+        )
 
         net = ln("gru_ln1")(net)
         net = GatedResidual(DIM, name="gru_res1")(net)

@@ -80,8 +80,8 @@ class VONet(nn.Module):
     def encode(self, events, images, mask=None, state=None, n_out: int = 1):
         return self.patchify(events, images, mask, state, n_out)
 
-    def update_op(self, net, inp, corr, ii, jj, kk, valid=None):
-        return self.update(net, inp, corr, ii, jj, kk, valid)
+    def update_op(self, net, inp, corr, ii, jj, kk, valid=None, lattice=None):
+        return self.update(net, inp, corr, ii, jj, kk, valid, lattice)
 
 
 # ---------------------------------------------------------------------------

@@ -37,7 +37,7 @@ E_BLK = 64
 GANG = 8            # edges per fused MXU matmul in the 2-level kernel
 SPREAD = 4            # max |patch pixel - center| handled exactly (px)
 TY = 16               # tile rows: D + 2*SPREAD
-TX = 32               # tile cols: D + 2*SPREAD + 8-alignment slack
+TX = 24               # tile cols: >= D + 2*SPREAD + 7 (8-align slack)
 BAND = 16             # aligned x-band written per window
 
 
@@ -595,30 +595,12 @@ def _finish_aligned(band, prep, E, P, R, D, vmask=None):
     return out.reshape(E, P, P, d * d)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("r", "radius", "interpret", "prepadded", "hw")
-)
-def corr_lattice2(
-    gmap_r: jnp.ndarray,    # [MEM, M, P, P, C] gmap ring
-    fmap1: jnp.ndarray,     # [MEM, H, W, C]   level-1 ring
-    fmap2: jnp.ndarray,     # [MEM, H//4, W//4, C] level-2 ring
-    coords: jnp.ndarray,    # [NI, T, M, P, P, 2] lattice-ordered coords
-    cell_valid: jnp.ndarray,  # [NI, T] bool
-    n,                      # traced int32: live keyframe count
-    slotmap: jnp.ndarray,   # [L] int32 logical frame -> ring slot
-    r: int,                 # PATCH_LIFETIME (static)
-    radius: int = 3,
-    interpret: bool = False,
-    prepadded: bool = False,
-    hw=None,                # (H1, W1, H2, W2) when prepadded
+def _lattice_bands(
+    gmap_r, fmap1, fmap2, coords, cell_valid, n, slotmap,
+    r, radius, interpret, prepadded, hw,
 ):
-    """Two-level correlation over the edge lattice (see vo/state.py).
-
-    Semantics identical to corr_pallas2 over the flat edge view, but the
-    lattice structure removes its per-update costs: no argsort/scatter of
-    60k edges, no unsort gather of the output, no XLA gather of 138MB of
-    patch features, and invalid cells cost ~nothing (skipped blocks).
-    Returns (corr1, corr2) as [NI*T*M, P, P, (2R+1)^2]."""
+    """Shared core of the lattice kernels: tables + geometry + pallas call.
+    Returns (band1, band2, prep1, prep2, vmask, (E, P, R, D))."""
     NI, T, M, P, _, _ = coords.shape
     if prepadded:
         MEM, C = fmap1.shape[0], fmap1.shape[3]
@@ -650,10 +632,18 @@ def corr_lattice2(
     valid = cv & occupied & (i >= 0) & (j >= 0) & (j <= n - 1)
     slot_j = jnp.clip(slotmap[jnp.clip(j, 0, L - 1)], 0, MEM - 1)
     gslot = jnp.clip(slotmap[jnp.clip(i, 0, L - 1)], 0, MEM - 1)
+    # invalid blocks: pin EVERY block index to a constant so consecutive
+    # invalid grid steps revisit identical blocks — Pallas skips the
+    # copy-in/copy-out entirely. With varying indices each invalid block
+    # paid ~3 DMA issue latencies (~20 us/block — the kernel's former
+    # fixed cost was dominated by this, not by compute).
     in_row = jnp.where(valid, row, 0)
     out_row = jnp.where(valid, row, NI)
+    t_io = jnp.where(valid, t, 0)
+    slot_j = jnp.where(valid, slot_j, 0)
+    gslot = jnp.where(valid, gslot, 0)
     tabs = jnp.stack(
-        [in_row, t, slot_j, gslot, out_row], axis=1
+        [in_row, t_io, slot_j, gslot, out_row], axis=1
     ).astype(jnp.int32)
 
     # ---- per-edge window geometry, in lattice order ----
@@ -745,5 +735,79 @@ def corr_lattice2(
 
     b1 = band1[:NI].reshape(E, PP, D, TX)
     b2 = band2[:NI].reshape(E, PP, D, TX)
+    return b1, b2, prep1, prep2, vmask, (E, P, R, D)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("r", "radius", "interpret", "prepadded", "hw")
+)
+def corr_lattice2(
+    gmap_r: jnp.ndarray,    # [MEM, M, P, P, C] gmap ring
+    fmap1: jnp.ndarray,     # [MEM, H, W, C]   level-1 ring
+    fmap2: jnp.ndarray,     # [MEM, H//4, W//4, C] level-2 ring
+    coords: jnp.ndarray,    # [NI, T, M, P, P, 2] lattice-ordered coords
+    cell_valid: jnp.ndarray,  # [NI, T] bool
+    n,                      # traced int32: live keyframe count
+    slotmap: jnp.ndarray,   # [L] int32 logical frame -> ring slot
+    r: int,                 # PATCH_LIFETIME (static)
+    radius: int = 3,
+    interpret: bool = False,
+    prepadded: bool = False,
+    hw=None,                # (H1, W1, H2, W2) when prepadded
+):
+    """Two-level correlation over the edge lattice (see vo/state.py).
+
+    Semantics identical to corr_pallas2 over the flat edge view, but the
+    lattice structure removes its per-update costs: no argsort/scatter of
+    60k edges, no unsort gather of the output, no XLA gather of 138MB of
+    patch features, and invalid cells cost ~nothing (skipped blocks).
+    Returns (corr1, corr2) as [NI*T*M, P, P, (2R+1)^2]."""
+    b1, b2, prep1, prep2, vmask, (E, P, R, D) = _lattice_bands(
+        gmap_r, fmap1, fmap2, coords, cell_valid, n, slotmap,
+        r, radius, interpret, prepadded, hw,
+    )
     return (_finish_aligned(b1, prep1, E, P, R, D, vmask),
             _finish_aligned(b2, prep2, E, P, R, D, vmask))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("r", "radius", "interpret", "prepadded", "hw")
+)
+def corr_lattice2_stacked(
+    gmap_r, fmap1, fmap2, coords, cell_valid, n, slotmap,
+    r: int, radius: int = 3, interpret: bool = False,
+    prepadded: bool = False, hw=None,
+):
+    """corr_lattice2 fused straight into the Update operator's input layout
+    [E, P*P*(2R+1)^2*2] (level fastest — ops/corr.py corr_stack), in the
+    band dtype (bf16). One fused elementwise pass over the kernel output
+    instead of per-level f32 finishes + stack + reshape (those materialized
+    ~4x the traffic and dominated the op's fixed cost)."""
+    b1, b2, prep1, prep2, vmask, (E, P, R, D) = _lattice_bands(
+        gmap_r, fmap1, fmap2, coords, cell_valid, n, slotmap,
+        r, radius, interpret, prepadded, hw,
+    )
+    d = 2 * R + 1
+
+    def blend(band, prep):
+        x, y, x0, y0, _, _, _, _, ok = prep
+        m = ok.reshape(E, P, P)[..., None, None] & vmask.reshape(
+            E, 1, 1, 1, 1
+        )
+        vol = band[..., :D].reshape(E, P, P, D, D).astype(jnp.float32)
+        vol = jnp.where(m, vol, 0.0)
+        fx = (x - x0.astype(jnp.float32))[..., None, None]
+        fy = (y - y0.astype(jnp.float32))[..., None, None]
+        out = (
+            (1 - fy) * (1 - fx) * vol[..., :d, :d]
+            + (1 - fy) * fx * vol[..., :d, 1:]
+            + fy * (1 - fx) * vol[..., 1:, :d]
+            + fy * fx * vol[..., 1:, 1:]
+        )
+        # reference window-order permute: out[..., a, b] <- blend[..., b, a]
+        return jnp.swapaxes(out, -1, -2)
+
+    o1 = blend(b1, prep1)
+    o2 = blend(b2, prep2)
+    out = jnp.stack([o1, o2], axis=-1).reshape(E, P * P * d * d * 2)
+    return out.astype(b1.dtype)

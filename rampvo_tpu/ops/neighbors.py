@@ -8,6 +8,7 @@ single stable argsort on (kk, jj) — fully on-device, jit-safe, static shapes.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -42,4 +43,41 @@ def neighbors(kk: jnp.ndarray, jj: jnp.ndarray, valid: jnp.ndarray | None = None
 
     ix = jnp.full(E, -1, dtype=jnp.int32).at[order].set(prev_idx.astype(jnp.int32))
     jx = jnp.full(E, -1, dtype=jnp.int32).at[order].set(next_idx.astype(jnp.int32))
+    return ix, jx
+
+
+def lattice_neighbors(cell_valid: jnp.ndarray, NI: int, T: int, M: int):
+    """`neighbors` over the edge lattice [NI, T, M] — pure index arithmetic.
+
+    A patch track is one lattice row (host, m); edges are ordered by t
+    (t order == jj order), so the previous/next edge of cell (row, t) is the
+    nearest valid cell at t' < t / t' > t in the same row. Two [NI, T]
+    cumulative scans replace the flat path's 60k-element lexsort.
+
+    cell_valid: [NI, T] bool. Returns (ix, jx) flat [NI*T*M] int32, -1 where
+    no neighbour exists.
+    """
+    t = jnp.arange(T, dtype=jnp.int32)[None, :]
+    # previous valid t (exclusive cummax of t-where-valid)
+    tv = jnp.where(cell_valid, t, -1)
+    prev_in = jax.lax.cummax(tv, axis=1)
+    prev_t = jnp.concatenate(
+        [jnp.full((NI, 1), -1, jnp.int32), prev_in[:, :-1]], axis=1
+    )
+    # next valid t (exclusive reverse cummin of t-where-valid)
+    tw = jnp.where(cell_valid, t, T)
+    next_in = jax.lax.cummin(tw, axis=1, reverse=True)
+    next_t = jnp.concatenate(
+        [next_in[:, 1:], jnp.full((NI, 1), T, jnp.int32)], axis=1
+    )
+
+    row = jnp.arange(NI, dtype=jnp.int32)[:, None, None]
+    m = jnp.arange(M, dtype=jnp.int32)[None, None, :]
+
+    def flat(tsel, ok):
+        e = (row * T + tsel[:, :, None]) * M + m
+        return jnp.where(ok[:, :, None], e, -1).reshape(-1).astype(jnp.int32)
+
+    ix = flat(prev_t, prev_t >= 0)
+    jx = flat(next_t, next_t < T)
     return ix, jx

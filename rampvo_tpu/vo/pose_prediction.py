@@ -175,8 +175,8 @@ def predict_future_pose(slam, sec_to_pred_future, abs_time,
         slam._pp_tracks = compute_patch_tracks(coords, ii, jj, kk,
                                                next_frame_index)
     if slam._pp_models is None:
-        h4 = int(st.fmap1_r.shape[1]) * 4
-        w4 = int(st.fmap1_r.shape[2]) * 4
+        h4 = int(st.hw4[0]) * 4
+        w4 = int(st.hw4[1]) * 4
         slam._pp_models = fit_track_models(
             slam._pp_tracks, tstamps, next_frame_index, ii, jj,
             (h4, w4), frequency, deg,

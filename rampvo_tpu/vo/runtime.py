@@ -36,7 +36,12 @@ from ..models.vonet import (
     select_coords_random,
 )
 from ..ops.corr import avg_pool2d, corr as corr_xla, corr_region, corr_stack
-from ..ops.corr_pallas import GANG, corr_lattice2, corr_pallas2
+from ..ops.corr_pallas import (
+    GANG,
+    RING_PAD,
+    corr_lattice2_stacked,
+    corr_pallas2,
+)
 from .config import VOConfig
 from .state import VOState, edge_table, host_of_row, init_state
 
@@ -116,8 +121,16 @@ def _commit(cfg: VOConfig, state: VOState, fmap, gmap, imap_vec, patches_new,
 
     imap_r = state.imap_r.at[s].set(imap_vec[0].astype(fdt))
     gmap_r = state.gmap_r.at[s].set(gmap[0].astype(fdt))
-    fmap1_r = state.fmap1_r.at[s].set(fmap[0].astype(fdt))
-    fmap2_r = state.fmap2_r.at[s].set(avg_pool2d(fmap, 4)[0].astype(fdt))
+    # fmap rings are stored pre-padded (ops/corr_pallas.RING_PAD): write the
+    # slot interior only — the border stays zero for the kernels' clamped
+    # tile slices
+    fmap1_r = jax.lax.dynamic_update_slice(
+        state.fmap1_r, fmap.astype(fdt), (s, RING_PAD, RING_PAD, 0)
+    )
+    fmap2_r = jax.lax.dynamic_update_slice(
+        state.fmap2_r, avg_pool2d(fmap, 4).astype(fdt),
+        (s, RING_PAD, RING_PAD, 0),
+    )
 
     # provisional logical registration (valid only if the frame is kept)
     l2g = state.l2g.at[n].set(g)
@@ -163,12 +176,13 @@ def _edge_corr_ctx_lattice(cfg: VOConfig, state: VOState, ii, jj, kk):
     L = state.l2g.shape[0]
 
     coords = _reproject_edges(cfg, state, ii, jj, kk)
-    c1, c2 = corr_lattice2(
+    h4, w4 = state.hw4
+    corr_in = corr_lattice2_stacked(
         state.gmap_r, state.fmap1_r, state.fmap2_r,
         coords.reshape(NI, T, M, P, P, 2), state.cell_valid,
         state.n, state.slotmap, cfg.PATCH_LIFETIME, 3,
+        prepadded=True, hw=(h4, w4, h4 // 4, w4 // 4),
     )
-    corr_in = corr_stack(c1, c2).astype(jnp.float32)
 
     slot_k = state.slotmap[jnp.clip(kk // M, 0, L - 1)]
     gidx = jnp.clip(slot_k, 0, MEM - 1) * M + kk % M
@@ -196,23 +210,33 @@ def _edge_corr_ctx(cfg: VOConfig, state: VOState, ii, jj, kk):
     slot_j = jnp.clip(state.slotmap[jnp.clip(jj, 0, L - 1)], 0, MEM - 1)
 
     gmap_flat = state.gmap_r.reshape(MEM * M, P, P, 128)
+    # the rings are stored pre-padded; the non-lattice kernels take
+    # unpadded maps (cheap here: this path runs on M-sized probe edge sets
+    # pre-init, or on non-TPU backends)
+    h4, w4 = state.hw4
+    fmap1 = state.fmap1_r[
+        :, RING_PAD:RING_PAD + h4, RING_PAD:RING_PAD + w4
+    ]
+    fmap2 = state.fmap2_r[
+        :, RING_PAD:RING_PAD + h4 // 4, RING_PAD:RING_PAD + w4 // 4
+    ]
     impl = _resolve_corr_impl(cfg)
     if impl in ("pallas", "lattice"):
         # the lattice kernel only fits the full edge set; arbitrary edge
         # lists (the motion probe) use the sorted-group kernel
         c1, c2 = corr_pallas2(
-            gmap_flat, state.fmap1_r, state.fmap2_r, coords, gidx, slot_j, 3
+            gmap_flat, fmap1, fmap2, coords, gidx, slot_j, 3
         )
     elif impl == "region":
         E = coords.shape[0]
         ch = 8 if E % 8 == 0 and E > 16384 else 1
-        c1 = corr_region(gmap_flat, state.fmap1_r, coords, gidx, slot_j, 3,
+        c1 = corr_region(gmap_flat, fmap1, coords, gidx, slot_j, 3,
                          chunks=ch)
-        c2 = corr_region(gmap_flat, state.fmap2_r, coords / 4.0, gidx,
+        c2 = corr_region(gmap_flat, fmap2, coords / 4.0, gidx,
                          slot_j, 3, chunks=ch)
     else:
-        c1 = corr_xla(gmap_flat, state.fmap1_r, coords, gidx, slot_j, 3)
-        c2 = corr_xla(gmap_flat, state.fmap2_r, coords / 4.0, gidx, slot_j, 3)
+        c1 = corr_xla(gmap_flat, fmap1, coords, gidx, slot_j, 3)
+        c2 = corr_xla(gmap_flat, fmap2, coords / 4.0, gidx, slot_j, 3)
     corr_in = corr_stack(c1, c2).astype(jnp.float32)
 
     ctx = state.imap_r.reshape(MEM * M, -1)[gidx].astype(jnp.float32)
@@ -284,7 +308,7 @@ def _update(cfg: VOConfig, update_fn, params, state: VOState,
     F = state.poses.shape[0]
     L = state.l2g.shape[0]
     n = state.n
-    hw4 = (state.fmap1_r.shape[1], state.fmap1_r.shape[2])
+    hw4 = state.hw4
 
     ii, jj, kk, valid = edge_table(cfg, n, state.cell_valid)
     net_flat = state.net.reshape(-1, DIM)
@@ -294,10 +318,12 @@ def _update(cfg: VOConfig, update_fn, params, state: VOState,
             coords, corr_in, ctx = _edge_corr_ctx_lattice(
                 cfg, state, ii, jj, kk
             )
+            lattice = (cfg.NI, cfg.T, cfg.M)
         else:
             coords, corr_in, ctx = _edge_corr_ctx(cfg, state, ii, jj, kk)
+            lattice = None
         net_flat, (delta, weight) = update_fn(
-            params, net_flat, ctx, corr_in, ii, jj, kk, valid
+            params, net_flat, ctx, corr_in, ii, jj, kk, valid, lattice
         )
     else:
         coords = _reproject_edges(cfg, state, ii, jj, kk)
@@ -321,12 +347,23 @@ def _update(cfg: VOConfig, update_fn, params, state: VOState,
     pwin = state.patches[jnp.clip(jnp.where(prow_ok, prow_g, 0), 0, F * M - 1)]
 
     t0 = jnp.maximum(jnp.where(state.initialized, n - cfg.OPTIMIZATION_WINDOW, 1), 1)
+    if _resolve_corr_impl(cfg) == "lattice":
+        # patch tracks are lattice rows: BA's per-patch reduction becomes a
+        # dense t-axis sum + a window-frame row gather (ba/core.py _assemble)
+        ba_lat = (cfg.NI, cfg.T, M)
+        wf = base + jnp.arange(PW, dtype=jnp.int32)     # window frames
+        wrow = jnp.mod(wf, cfg.NI)
+        held = host_of_row(wrow, n, cfg.NI) == wf       # row holds frame wf
+        win_rows = jnp.where(held & (wf < n), wrow, -1)
+    else:
+        ba_lat, win_rows = None, None
     posew2, pwin2 = ba_infer(
         posew, pwin, state.intrinsics, target, weight,
         jnp.float32(1e-4),
         ii - base, jj - base, kk - base * M,
         t0 - base, n - base,
         N=cfg.OPTIMIZATION_WINDOW, M=PW * M, iterations=2, valid=valid,
+        lattice=ba_lat, win_rows=win_rows,
     )
 
     poses = state.poses.at[jnp.where(win_ok, win_g, F)].set(posew2, mode="drop")
@@ -477,7 +514,7 @@ def make_vo_frame(cfg: VOConfig, vonet: VONet, event_bias: bool = True,
             )
         return fmap, imap, enc2
 
-    def update_fn(params, net, ctx, corr_in, ii, jj, kk, valid):
+    def update_fn(params, net, ctx, corr_in, ii, jj, kk, valid, lattice=None):
         if cfg.MIXED_PRECISION:
             # inference update runs in half precision like the reference's
             # fp16 autocast (Ramp_vo.py:23,280-284); outputs restored to f32
@@ -490,7 +527,7 @@ def make_vo_frame(cfg: VOConfig, vonet: VONet, event_bias: bool = True,
             ctx = ctx.astype(jnp.bfloat16)
             corr_in = corr_in.astype(jnp.bfloat16)
         net2, (delta, weight) = vonet.apply(
-            params, net, ctx, corr_in, ii, jj, kk, valid,
+            params, net, ctx, corr_in, ii, jj, kk, valid, lattice,
             method=VONet.update_op,
         )
         return (
@@ -592,9 +629,10 @@ def make_final_updates(cfg: VOConfig, vonet: VONet, iters: int = 12,
                        oracle=None):
     """Terminal refinement: N extra updates (ref: evaluate.py:254-255)."""
 
-    def update_fn(params, net, ctx, corr_in, ii, jj, kk, valid):
+    def update_fn(params, net, ctx, corr_in, ii, jj, kk, valid, lattice=None):
         return vonet.apply(
-            params, net, ctx, corr_in, ii, jj, kk, valid, method=VONet.update_op
+            params, net, ctx, corr_in, ii, jj, kk, valid, lattice,
+            method=VONet.update_op,
         )
 
     def final(params, state: VOState):

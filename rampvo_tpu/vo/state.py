@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from ..ops.corr_pallas import RING_PAD, ring_padded_shape
 from .config import VOConfig
 
 
@@ -50,10 +51,13 @@ class VOState:
     slot_free: jnp.ndarray    # [MEM] bool
 
     # ---- feature rings (row = ring slot) ----
+    # fmap rings are stored PRE-PADDED for the correlation kernels' clamped
+    # tile slices (ops/corr_pallas.ring_padded_shape): commit writes one
+    # slot's interior instead of every update re-padding all MEM slots.
     imap_r: jnp.ndarray       # [MEM, M, DIM]
     gmap_r: jnp.ndarray       # [MEM, M, P, P, 128]
-    fmap1_r: jnp.ndarray      # [MEM, h, w, 128]
-    fmap2_r: jnp.ndarray      # [MEM, h//4, w//4, 128]
+    fmap1_r: jnp.ndarray      # [MEM, *ring_padded_shape(h, w), 128]
+    fmap2_r: jnp.ndarray      # [MEM, *ring_padded_shape(h//4, w//4), 128]
 
     # ---- edge lattice [NI, T, M] (see module docstring) ----
     cell_valid: jnp.ndarray   # [NI, T] bool
@@ -69,6 +73,10 @@ class VOState:
     initialized: jnp.ndarray  # bool
     intrinsics: jnp.ndarray   # [4] fx fy cx cy at 1/RES
     rng: jnp.ndarray          # PRNG key
+
+    # ---- static aux (not a pytree leaf) ----
+    hw4: tuple = struct.field(pytree_node=False, default=None)
+    # interior (h, w) of the padded fmap rings (= input resolution / 4)
 
 
 def host_of_row(i_row, n, NI: int):
@@ -129,8 +137,10 @@ def init_state(cfg: VOConfig, enc_state, ht: int, wd: int, P: int = 3,
         slot_free=jnp.ones((MEM,), bool),
         imap_r=jnp.zeros((MEM, M, dim), fdt),
         gmap_r=jnp.zeros((MEM, M, P, P, 128), fdt),
-        fmap1_r=jnp.zeros((MEM, h, w, 128), fdt),
-        fmap2_r=jnp.zeros((MEM, h // 4, w // 4, 128), fdt),
+        fmap1_r=jnp.zeros((MEM,) + ring_padded_shape(h, w) + (128,), fdt),
+        fmap2_r=jnp.zeros(
+            (MEM,) + ring_padded_shape(h // 4, w // 4) + (128,), fdt
+        ),
         cell_valid=jnp.zeros((NI, T), bool),
         net=jnp.zeros((NI, T, M, dim), jnp.float32),
         last_weight=jnp.zeros((NI, T, M, 2), jnp.float32),
@@ -140,4 +150,5 @@ def init_state(cfg: VOConfig, enc_state, ht: int, wd: int, P: int = 3,
         initialized=jnp.asarray(False),
         intrinsics=jnp.zeros((4,), jnp.float32),
         rng=jax.random.PRNGKey(0),
+        hw4=(h, w),
     )

@@ -198,3 +198,68 @@ class TestBATrain:
         g = jax.grad(loss)(targets)
         assert np.all(np.isfinite(np.asarray(g)))
         assert np.abs(np.asarray(g)).max() > 0
+
+
+class TestLatticeAssembly:
+    def test_ba_infer_lattice_matches_flat(self):
+        """ba_infer with the dense lattice per-patch reduction must equal the
+        segment_sum path on a lattice-ordered edge set."""
+        from rampvo_tpu.vo.state import host_of_row
+
+        rng = np.random.RandomState(11)
+        NI, T, Mp = 5, 7, 4
+        r = (T + 1) // 2
+        n = 9
+        E = NI * T * Mp
+        Nwin, Mwin = 4, 10 * Mp
+        base = 0
+
+        # lattice-consistent edges + gaps
+        i_row = np.arange(NI)[:, None]
+        tt = np.arange(T)[None, :]
+        i = n - 1 - np.mod(n - 1 - i_row, NI) + 0 * tt
+        j = i + tt - (r - 1)
+        cellv = (i >= 0) & (j >= 0) & (j <= n - 1) & (rng.rand(NI, T) < 0.8)
+        ii = np.broadcast_to(i[:, :, None], (NI, T, Mp))
+        jj = np.broadcast_to(j[:, :, None], (NI, T, Mp))
+        m_ = np.broadcast_to(np.arange(Mp)[None, None, :], (NI, T, Mp))
+        kk = ii * Mp + m_
+        valid = np.broadcast_to(cellv[:, :, None], (NI, T, Mp))
+        iif = jnp.asarray(np.where(valid, ii, 0).reshape(E), jnp.int32)
+        jjf = jnp.asarray(np.where(valid, jj, 0).reshape(E), jnp.int32)
+        kkf = jnp.asarray(np.where(valid, kk, 0).reshape(E), jnp.int32)
+        vf = jnp.asarray(valid.reshape(E))
+
+        poses = jnp.asarray(
+            np.concatenate(
+                [0.02 * rng.randn(n, 6).astype(np.float32)], 0
+            )
+        )
+        from rampvo_tpu.lie import ops as lops
+        poses7 = lops.se3_exp(poses)
+        poses7 = jnp.concatenate(
+            [poses7, jnp.zeros((3, 7)).at[:, 6].set(1.0)], 0
+        )
+        pwin = jnp.asarray(rng.rand(Mwin, 3, 3, 3), jnp.float32)
+        pwin = pwin.at[:, 2].set(0.5 + 0.2 * pwin[:, 2])
+        intr = jnp.asarray([40.0, 40.0, 32.0, 24.0], jnp.float32)
+        targets = jnp.asarray(rng.rand(E, 2) * 60, jnp.float32)
+        weights = jnp.asarray(rng.rand(E, 2), jnp.float32)
+
+        args = (poses7, pwin, intr, targets, weights, jnp.float32(1e-4),
+                iif, jjf, kkf, jnp.int32(1), jnp.int32(n))
+        p_a, q_a = ba_infer(*args, N=Nwin, M=Mwin, iterations=2, valid=vf)
+
+        wf = base + jnp.arange(Mwin // Mp, dtype=jnp.int32)
+        wrow = jnp.mod(wf, NI)
+        held = host_of_row(wrow, jnp.int32(n), NI) == wf
+        win_rows = jnp.where(held & (wf < n), wrow, -1).astype(jnp.int32)
+        p_b, q_b = ba_infer(*args, N=Nwin, M=Mwin, iterations=2, valid=vf,
+                            lattice=(NI, T, Mp), win_rows=win_rows)
+
+        np.testing.assert_allclose(
+            np.asarray(p_a), np.asarray(p_b), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(q_a), np.asarray(q_b), atol=1e-5
+        )

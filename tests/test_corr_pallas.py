@@ -10,7 +10,12 @@ import numpy as np
 import pytest
 
 from rampvo_tpu.ops.corr import corr
-from rampvo_tpu.ops.corr_pallas import corr_lattice2, corr_pallas, corr_pallas2
+from rampvo_tpu.ops.corr_pallas import (
+    corr_lattice2,
+    corr_lattice2_stacked,
+    corr_pallas,
+    corr_pallas2,
+)
 
 
 def make_problem(seed=0, E=120, P=3, C=128, H=40, W=64, MEM=4, Mg=32):
@@ -112,3 +117,17 @@ class TestCorrLattice:
         d2 = float(jnp.abs(jnp.where(vb, a2 - c2, 0.0)).max())
         assert d1 / scale < 5e-3, d1
         assert d2 / scale < 5e-3, d2
+
+        # the fused stacked finish == corr_stack of the per-level outputs
+        from rampvo_tpu.ops.corr import corr_stack
+
+        st = corr_lattice2_stacked(
+            gmap_r, fmap1, fmap2, coords, cell_valid,
+            jnp.int32(n), slotmap, r, 3, interpret=True,
+        )
+        ref = corr_stack(c1, c2)
+        vb2 = jnp.asarray(v)[:, None]
+        ds = float(jnp.abs(jnp.where(
+            vb2, st.astype(jnp.float32) - ref, 0.0)).max())
+        assert ds / scale < 2e-2, ds
+        assert bool(jnp.isfinite(st.astype(jnp.float32)).all())

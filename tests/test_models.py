@@ -184,6 +184,53 @@ class TestUpdate:
         )
         np.testing.assert_allclose(np.asarray(d_a), np.asarray(d_b[:E]), atol=1e-5)
 
+    def test_lattice_matches_flat(self):
+        """The dense lattice path (analytic neighbours + axis-reduction
+        SoftAgg) must reproduce the flat sort/segment path exactly on a
+        lattice-shaped edge set."""
+        NI, T, M = 4, 7, 6
+        r = (T + 1) // 2
+        n = 9
+        E = NI * T * M
+        rng = np.random.RandomState(3)
+
+        # lattice-consistent ii/jj/kk + validity with interior gaps
+        i_row = np.arange(NI)[:, None]
+        tt = np.arange(T)[None, :]
+        i = n - 1 - np.mod(n - 1 - i_row, NI) + 0 * tt
+        j = i + tt - (r - 1)
+        cellv = (i >= 0) & (j >= 0) & (j <= n - 1) & (rng.rand(NI, T) < 0.75)
+        ii = np.broadcast_to(i[:, :, None], (NI, T, M))
+        jj = np.broadcast_to(j[:, :, None], (NI, T, M))
+        m_ = np.broadcast_to(np.arange(M)[None, None, :], (NI, T, M))
+        kk = ii * M + m_
+        valid = np.broadcast_to(cellv[:, :, None], (NI, T, M))
+        iif = jnp.asarray(np.where(valid, ii, 0).reshape(E), jnp.int32)
+        jjf = jnp.asarray(np.where(valid, jj, 0).reshape(E), jnp.int32)
+        kkf = jnp.asarray(np.where(valid, kk, 0).reshape(E), jnp.int32)
+        vf = jnp.asarray(valid.reshape(E))
+
+        net = jnp.asarray(rng.randn(E, 384), jnp.float32)
+        inp = jnp.asarray(rng.randn(E, 384), jnp.float32)
+        corr = jnp.asarray(rng.randn(E, 2 * 49 * 9), jnp.float32)
+
+        m = Update(3)
+        params = m.init(jax.random.PRNGKey(0), net, inp, corr, iif, jjf, kkf)
+        out_f, (d_f, w_f) = m.apply(params, net, inp, corr, iif, jjf, kkf, vf)
+        out_l, (d_l, w_l) = m.apply(
+            params, net, inp, corr, iif, jjf, kkf, vf, (NI, T, M)
+        )
+        vmask = np.asarray(vf)
+        np.testing.assert_allclose(
+            np.asarray(out_f)[vmask], np.asarray(out_l)[vmask], atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(d_f)[vmask], np.asarray(d_l)[vmask], atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(w_f)[vmask], np.asarray(w_l)[vmask], atol=1e-4
+        )
+
 
 class TestSelectionAndExtraction:
     def test_event_bias_finds_spike(self):
