@@ -30,7 +30,9 @@ class VOConfig:
 
     # correlation kernel: "auto" = best TPU path on TPU, exact XLA
     # tile-gather elsewhere; "xla" / "pallas" / "region" force one
-    # implementation (region = one gather per edge + batched MXU dots)
+    # implementation (region = one gather per edge + batched MXU dots);
+    # "lattice" forces the lattice kernel, "lattice_interpret" runs it in
+    # Pallas interpret mode (CPU-runnable — test coverage of the TPU path)
     CORR_IMPL: str = "auto"
 
     # TPU-native capacities (not in the reference; sized from its dynamics)

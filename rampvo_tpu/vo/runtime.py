@@ -159,7 +159,7 @@ def _resolve_corr_impl(cfg: VOConfig) -> str:
     impl = cfg.CORR_IMPL
     if impl == "auto":
         impl = "lattice" if jax.default_backend() == "tpu" else "xla"
-    if impl == "lattice" and cfg.M % GANG != 0:
+    if impl.startswith("lattice") and cfg.M % GANG != 0:
         impl = "pallas"  # lattice kernel gangs require M % 8 == 0
     return impl
 
@@ -181,6 +181,7 @@ def _edge_corr_ctx_lattice(cfg: VOConfig, state: VOState, ii, jj, kk):
         state.gmap_r, state.fmap1_r, state.fmap2_r,
         coords.reshape(NI, T, M, P, P, 2), state.cell_valid,
         state.n, state.slotmap, cfg.PATCH_LIFETIME, 3,
+        interpret=cfg.CORR_IMPL == "lattice_interpret",
         prepadded=True, hw=(h4, w4, h4 // 4, w4 // 4),
     )
 
@@ -221,6 +222,8 @@ def _edge_corr_ctx(cfg: VOConfig, state: VOState, ii, jj, kk):
         :, RING_PAD:RING_PAD + h4 // 4, RING_PAD:RING_PAD + w4 // 4
     ]
     impl = _resolve_corr_impl(cfg)
+    if impl == "lattice_interpret":
+        impl = "xla"  # CPU run: exact XLA path for the probe edge set
     if impl in ("pallas", "lattice"):
         # the lattice kernel only fits the full edge set; arbitrary edge
         # lists (the motion probe) use the sorted-group kernel
@@ -314,7 +317,7 @@ def _update(cfg: VOConfig, update_fn, params, state: VOState,
     net_flat = state.net.reshape(-1, DIM)
 
     if oracle is None:
-        if _resolve_corr_impl(cfg) == "lattice":
+        if _resolve_corr_impl(cfg).startswith("lattice"):
             coords, corr_in, ctx = _edge_corr_ctx_lattice(
                 cfg, state, ii, jj, kk
             )
@@ -347,7 +350,7 @@ def _update(cfg: VOConfig, update_fn, params, state: VOState,
     pwin = state.patches[jnp.clip(jnp.where(prow_ok, prow_g, 0), 0, F * M - 1)]
 
     t0 = jnp.maximum(jnp.where(state.initialized, n - cfg.OPTIMIZATION_WINDOW, 1), 1)
-    if _resolve_corr_impl(cfg) == "lattice":
+    if _resolve_corr_impl(cfg).startswith("lattice"):
         # patch tracks are lattice rows: BA's per-patch reduction becomes a
         # dense t-axis sum + a window-frame row gather (ba/core.py _assemble)
         ba_lat = (cfg.NI, cfg.T, M)

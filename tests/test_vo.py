@@ -201,3 +201,38 @@ class TestLongRunStability:
         poses, tstamps = vo.terminate()
         assert poses.shape == (60, 7)
         assert np.all(np.isfinite(poses))
+
+
+class TestLatticeRuntimeCPU:
+    """Drive the TPU lattice path (corr kernel in interpret mode + lattice
+    update net + lattice BA) end-to-end on CPU."""
+
+    def test_lattice_interpret_runs(self):
+        cfg = VOConfig(
+            BUFFER_SIZE=64,
+            PATCHES_PER_FRAME=8,
+            REMOVAL_WINDOW=5,
+            OPTIMIZATION_WINDOW=4,
+            PATCH_LIFETIME=3,
+            KEYFRAME_INDEX=2,
+            MIXED_PRECISION=False,
+            PROBE_THRESH=-1.0,
+            MAX_FRAMES=64,
+            MEM=16,
+            CORR_IMPL="lattice_interpret",
+        )
+        vo = RampVO(cfg, None, input_mode="MultiScale", ht=H, wd=W)
+        vo.params = vo.vonet.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, H, W, 5)),
+            jnp.zeros((1, H, W, 3)),
+            jnp.asarray([True]),
+        )
+        evs, ims = make_frames(9, seed=5)
+        for t in range(9):
+            vo(t / 10.0, jnp.asarray(evs[t]), jnp.asarray(ims[t]),
+               np.array([True]), np.array([40.0, 40.0, W / 2, H / 2]))
+        assert bool(vo.state.initialized)
+        poses, ts = vo.terminate()
+        assert np.isfinite(poses).all()
+        assert len(ts) == 9
