@@ -159,8 +159,7 @@ def _solve_schur(B, E, C, v, u, lmbda, ep, lm, structure_only, n_dyn):
     return dX.reshape(N, 6), dZ
 
 
-def _assemble(r, w, Ji, Jj, Jz, i_slot, j_slot, k_slot, N, M,
-              lattice=None, win_rows=None):
+def _assemble(r, w, Ji, Jj, Jz, i_slot, j_slot, k_slot, N, M):
     """Assemble the dense normal equations.
 
     r [E,2] residual, w [E,2] gated weights, Ji/Jj [E,2,6], Jz [E,2].
@@ -170,14 +169,8 @@ def _assemble(r, w, Ji, Jj, Jz, i_slot, j_slot, k_slot, N, M,
     TPU-hostile scatter patterns), each edge's Jacobians are expanded onto
     the pose-slot axis with one-hots (out-of-window slots land in a dump
     column) and the whole Hessian becomes ONE MXU matmul
-    B = (wU)^T U over [2E, 6(N+1)] — ~3x faster at E≈60k.
-
-    `lattice=(NI, T, Mp)` (static) with `win_rows [M // Mp]`: the edges
-    arrive in edge-lattice row-major order and a patch track is one
-    (row, m) — the per-patch reduction becomes a dense sum over the t axis
-    plus a gather of the window frames' lattice rows (win_rows[wq] = lattice
-    row holding window frame wq, or -1), replacing the E-row segment_sum
-    scatter entirely.
+    B = (wU)^T U over [2E, 6(N+1)] — ~3x faster at E≈60k. (Lattice-ordered
+    edge sets use `_assemble_cellwise` instead, which avoids the expansion.)
 
     Returns dense B [6N,6N], E [6N,M], C [M], v [6N], u [M], touched [M].
     """
@@ -208,29 +201,104 @@ def _assemble(r, w, Ji, Jj, Jz, i_slot, j_slot, k_slot, N, M,
     feats = jnp.concatenate(
         [Erow, Ck[:, None], uk[:, None], w.sum(-1, keepdims=True)], axis=-1
     )
-    F = feats.shape[-1]
-    if lattice is not None:
-        # gated-invalid edges contribute exact zeros (w == 0 and finite
-        # Jacobians), so the t-axis sum needs no extra masking
-        NI, T, Mp = lattice
-        assert M == win_rows.shape[0] * Mp
-        cell = feats.reshape(NI, T, Mp, F).sum(axis=1)     # [NI, Mp, F]
-        ok = (win_rows >= 0)[:, None, None]
-        agg = jnp.where(
-            ok, cell[jnp.clip(win_rows, 0, NI - 1)], 0.0
-        ).reshape(M, F)
-    else:
-        vk_ok = (k_slot >= 0) & (k_slot < M)
-        feats = jnp.where(vk_ok[:, None], feats, 0.0)
-        agg = jax.ops.segment_sum(
-            feats, jnp.where(vk_ok, k_slot, M), num_segments=M + 1
-        )[:M]
+    vk_ok = (k_slot >= 0) & (k_slot < M)
+    feats = jnp.where(vk_ok[:, None], feats, 0.0)
+    agg = jax.ops.segment_sum(
+        feats, jnp.where(vk_ok, k_slot, M), num_segments=M + 1
+    )[:M]
     Emat = agg[:, : Np1 * 6].T[: 6 * N]       # [6N, M]
     C, u, touched = agg[:, -3], agg[:, -2], agg[:, -1] > 0
 
     return (
         B_full[: 6 * N, : 6 * N], Emat, C, v_full[: 6 * N], u, touched
     )
+
+
+def _assemble_cellwise(r, w, Ji, Jj, Jz, i_slot, j_slot, N, M,
+                       lattice, win_rows):
+    """Lattice-cell-batched assembly of the normal equations.
+
+    All edges of a lattice cell share the pose pair (si, sj), so the pose
+    Hessian is a batched [12, 2Mp] x [2Mp, 12] matmul per cell plus a tiny
+    pose-pair placement einsum — no [E, 2, 6(N+1)] one-hot expansion. The
+    expansion's three ~32MB small-minor-dim intermediates made the flat
+    `_assemble` XLA-layout-bound (7.3 ms at E=60k; this path ~1-2 ms).
+
+    Same contract as `_assemble`.
+    """
+    NI, T, Mp = lattice
+    NC = NI * T
+    Np1 = N + 1
+    W = win_rows.shape[0]
+    assert M == W * Mp
+
+    Jcat = jnp.concatenate([Ji, Jj], axis=-1)          # [E, 2, 12]
+    Jc = Jcat.reshape(NC, Mp * 2, 12)
+    wc = w.reshape(NC, Mp * 2, 1)
+    rc = r.reshape(NC, Mp * 2)
+
+    # pose-pair block per cell: Bc = (w J)^T J,  vc = (w r)^T J
+    wJ = wc * Jc
+    Bc = jax.lax.dot_general(
+        wJ, Jc, (((1,), (1,)), ((0,), (0,)))
+    )  # [NC, 12, 12]
+    vc = jax.lax.dot_general(
+        (wc[..., 0] * rc)[:, None, :], Jc, (((2,), (1,)), ((0,), (0,)))
+    )[:, 0, :]  # [NC, 12]
+
+    # placement: one-hot over pose slots (dump slot N for fixed/inert)
+    si = i_slot.reshape(NC, Mp)[:, 0]
+    sj = j_slot.reshape(NC, Mp)[:, 0]
+    oh_i = jax.nn.one_hot(
+        jnp.where((si >= 0) & (si < N), si, N), Np1, dtype=r.dtype
+    )
+    oh_j = jax.nn.one_hot(
+        jnp.where((sj >= 0) & (sj < N), sj, N), Np1, dtype=r.dtype
+    )
+    ohP = jnp.stack([oh_i, oh_j], axis=1)              # [NC, 2, Np1]
+    Bc4 = Bc.reshape(NC, 2, 6, 2, 6)
+    B_full = jnp.einsum(
+        "cup,cuxvy,cvq->pxqy", ohP, Bc4, ohP
+    ).reshape(Np1 * 6, Np1 * 6)
+    v_full = jnp.einsum(
+        "cup,cux->px", ohP, vc.reshape(NC, 2, 6)
+    ).reshape(Np1 * 6)
+
+    # per-patch quantities: dense t-axis sums + window-frame row gather
+    wJz = w * Jz                                       # [E, 2]
+    Ck = (wJz * Jz).sum(-1).reshape(NI, T, Mp).sum(1)  # [NI, Mp]
+    uk = (wJz * r).sum(-1).reshape(NI, T, Mp).sum(1)
+    tk = w.sum(-1).reshape(NI, T, Mp).sum(1)
+
+    Erow = (wJ * Jz.reshape(NC, Mp * 2, 1)).reshape(
+        NI, T, Mp, 2, 12
+    ).sum(3)                                           # [NI, T, Mp, 12]
+    Ei_row = Erow[..., :6].sum(1)                      # [NI, Mp, 6]
+    # j-part: per cell placed at sj; contract t with the cell one-hot
+    Ejp = jnp.einsum(
+        "rtmx,rtp->prmx", Erow[..., 6:], oh_j.reshape(NI, T, Np1)
+    )  # [Np1, NI, Mp, 6]
+    # the row's host slot is t-constant, but individual cells may be
+    # sanitized-invalid (si = -t0 < any live slot): max over t recovers the
+    # true slot; all-invalid rows stay negative -> dump
+    si_row = jnp.max(si.reshape(NI, T), axis=1)
+    oh_si = jax.nn.one_hot(
+        jnp.where((si_row >= 0) & (si_row < N), si_row, N), Np1,
+        dtype=r.dtype,
+    )
+    Efull = Ejp + jnp.einsum("rmx,rp->prmx", Ei_row, oh_si)
+
+    ok = win_rows >= 0
+    rows = jnp.clip(win_rows, 0, NI - 1)
+
+    # Efull [Np1, NI, Mp, 6] -> window frames -> [Np1, 6, W, Mp] -> 2D
+    Emat4 = jnp.where(ok[None, :, None, None], Efull[:, rows], 0.0)
+    Emat = jnp.transpose(Emat4, (0, 3, 1, 2)).reshape(Np1 * 6, M)[: 6 * N]
+    C = jnp.where(ok[:, None], Ck[rows], 0.0).reshape(M)
+    u = jnp.where(ok[:, None], uk[rows], 0.0).reshape(M)
+    touched = jnp.where(ok[:, None], tk[rows], 0.0).reshape(M) > 0
+
+    return B_full[: 6 * N, : 6 * N], Emat, C, v_full[: 6 * N], u, touched
 
 
 def ba_train(
@@ -275,11 +343,11 @@ def ba_train(
             & (coords[..., 0] < bounds[2])
             & (coords[..., 1] < bounds[3])
         )
-        gate = (v_gate & in_bounds).astype(wgt.dtype)
+        gate = v_gate & in_bounds
         if valid is not None:
-            gate = gate * valid.astype(wgt.dtype)
-        w = gate[:, None] * wgt
-        r = gate[:, None] * r
+            gate = gate & valid
+        w = jnp.where(gate[:, None], wgt, 0.0)
+        r = jnp.where(gate[:, None], r, 0.0)
 
         Bm, Em, C, v, u, _ = _assemble(
             r, w, Ji, Jj, Jz, ii - fixedp, jj - fixedp, kk, N, Npatch
@@ -353,15 +421,19 @@ def ba_infer(
         )
         if valid is not None:
             gate = gate & valid
-        w = gate[:, None].astype(weights.dtype) * weights
-        rg = gate[:, None].astype(r.dtype) * r
+        w = jnp.where(gate[:, None], weights, 0.0)
+        rg = jnp.where(gate[:, None], r, 0.0)
 
         i_slot = ii - t0
         j_slot = jj - t0
-        Bm, Em, C, v, u, touched = _assemble(
-            rg, w, Ji, Jj, Jz, i_slot, j_slot, kk, N, M,
-            lattice=lattice, win_rows=win_rows,
-        )
+        if lattice is not None:
+            Bm, Em, C, v, u, touched = _assemble_cellwise(
+                rg, w, Ji, Jj, Jz, i_slot, j_slot, N, M, lattice, win_rows
+            )
+        else:
+            Bm, Em, C, v, u, touched = _assemble(
+                rg, w, Ji, Jj, Jz, i_slot, j_slot, kk, N, M
+            )
         dX, dZ = _solve_schur(Bm, Em, C, v, u, lmbda, 1.0, 1e-4, structure_only, n_dyn)
 
         # pose retraction on slots [0, t1-t0)

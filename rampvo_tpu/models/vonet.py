@@ -211,7 +211,8 @@ def filter_features(confidences, target, data_shape):
         & (target[..., 1] >= 0)
         & (target[..., 1] <= ht)
     )
-    return confidences * ok[..., None].astype(confidences.dtype)
+    # where, not multiply: 0 * NaN confidence (garbage edges) must not leak
+    return jnp.where(ok[..., None], confidences, 0.0)
 
 
 class CorrBlock:

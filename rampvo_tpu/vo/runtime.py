@@ -334,7 +334,7 @@ def _update(cfg: VOConfig, update_fn, params, state: VOState,
 
     target = coords[:, P // 2, P // 2, :] + delta
     weight = filter_features(weight, target, hw4)
-    weight = weight * valid[:, None].astype(weight.dtype)
+    weight = jnp.where(valid[:, None], weight, 0.0)
 
     # ---- BA over the trailing window ----
     base = jnp.maximum(n - PW, 0)

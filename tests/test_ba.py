@@ -257,9 +257,45 @@ class TestLatticeAssembly:
         p_b, q_b = ba_infer(*args, N=Nwin, M=Mwin, iterations=2, valid=vf,
                             lattice=(NI, T, Mp), win_rows=win_rows)
 
+        # the two paths reassociate float sums; the GN solve amplifies that
+        # on this random (ill-conditioned) problem — end-to-end is a loose
+        # check, the tight one is on the assembled normal equations below
         np.testing.assert_allclose(
-            np.asarray(p_a), np.asarray(p_b), atol=1e-5
+            np.asarray(p_a), np.asarray(p_b), atol=0.05
         )
         np.testing.assert_allclose(
-            np.asarray(q_a), np.asarray(q_b), atol=1e-5
+            np.asarray(q_a), np.asarray(q_b), atol=0.05
         )
+
+        # tight: assembled normal equations match to f32 rounding
+        from rampvo_tpu.ba.core import (
+            _assemble,
+            _assemble_cellwise,
+            linearize_center,
+        )
+
+        centers = pwin[kkf, :, 1, 1]
+        intr_e = jnp.broadcast_to(intr, (E, 4))
+        coords, Z, Ji, Jj, Jz = linearize_center(
+            poses7, centers, intr_e, intr_e, iif, jjf
+        )
+        rr = targets - coords
+        cx, cy = 32.0, 24.0
+        gate = (
+            (jnp.linalg.norm(rr, axis=-1) < 128.0) & (Z > 0.2)
+            & (coords[..., 0] > -64) & (coords[..., 1] > -64)
+            & (coords[..., 0] < 2 * cx + 64)
+            & (coords[..., 1] < 2 * cy + 64)
+        ) & vf
+        w = jnp.where(gate[:, None], weights, 0.0)
+        rg = jnp.where(gate[:, None], rr, 0.0)
+        t0 = 1
+        A = _assemble(rg, w, Ji, Jj, Jz, iif - t0, jjf - t0, kkf,
+                      Nwin, Mwin)
+        B = _assemble_cellwise(rg, w, Ji, Jj, Jz, iif - t0, jjf - t0,
+                               Nwin, Mwin, (NI, T, Mp), win_rows)
+        for name, a, b in zip(["B", "E", "C", "v", "u", "tch"], A, B):
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            scale = max(np.abs(a).max(), 1.0)
+            assert np.abs(a - b).max() / scale < 1e-5, name
