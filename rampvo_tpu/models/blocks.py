@@ -77,7 +77,8 @@ class SoftAgg(nn.Module):
     dim: int
 
     @nn.compact
-    def __call__(self, x, ix, valid=None, lattice=None, axis=None):
+    def __call__(self, x, ix, valid=None, lattice=None, axis=None,
+                 precompacted=False):
         E = x.shape[0]
         f = nn.Dense(self.dim, name="f")
         g = nn.Dense(self.dim, name="g")
@@ -105,7 +106,10 @@ class SoftAgg(nn.Module):
             out = jnp.broadcast_to(h(y), xl.shape)
             return out.reshape(E, x.shape[-1])
 
-        jx = compact_ids(ix.astype(jnp.int32), capacity=E)
+        if precompacted:
+            jx = ix.astype(jnp.int32)  # already dense ranks (static sched)
+        else:
+            jx = compact_ids(ix.astype(jnp.int32), capacity=E)
         w = segment_softmax(g(x), jx, num_segments=E, valid=valid)
         y = segment_sum(f(x) * w, jx, num_segments=E, valid=valid)
         return h(y)[jx]

@@ -13,7 +13,11 @@ from __future__ import annotations
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..ops.neighbors import lattice_neighbors, neighbors
+from ..ops.neighbors import (
+    lattice_neighbors,
+    neighbors,
+    neighbors_presorted,
+)
 from .blocks import GatedResidual, SoftAgg, grad_clip
 
 DIM = 384  # net.py:31
@@ -23,11 +27,18 @@ class Update(nn.Module):
     patch_size: int = 3
 
     @nn.compact
-    def __call__(self, net, inp, corr, ii, jj, kk, valid=None, lattice=None):
+    def __call__(self, net, inp, corr, ii, jj, kk, valid=None, lattice=None,
+                 static_sched=None):
         """`lattice=(NI, T, M)` (static): the edge set is the full lattice in
         row-major order — neighbour indices and both SoftAgg groups become
         dense lattice operations (axis reductions) instead of three
-        E-element sorts per call. Numerics identical to the flat path."""
+        E-element sorts per call. Numerics identical to the flat path.
+
+        `static_sched`: for STATIC edge schedules (training forward), a
+        dict with the neighbour sort precomputed on host (`order`,
+        `track_start` from ops.neighbors.neighbors_static_order) and both
+        SoftAgg group ids pre-compacted (`jx_kk`, `jx_ij`) — removes the
+        three in-graph E-element sorts per step."""
         p = self.patch_size
         ln = lambda name: nn.LayerNorm(epsilon=1e-3, name=name)
 
@@ -55,6 +66,11 @@ class Update(nn.Module):
             if cellv is None:
                 cellv = jnp.ones((NI, T), bool)
             ix, jx = lattice_neighbors(cellv, NI, T, M)
+        elif static_sched is not None:
+            vv = (jnp.ones(net.shape[0], bool) if valid is None else valid)
+            ix, jx = neighbors_presorted(
+                static_sched["order"], static_sched["track_start"], vv
+            )
         else:
             ix, jx = neighbors(kk, jj, valid=valid)
         mask_ix = (ix >= 0).astype(net.dtype)[:, None]
@@ -62,11 +78,18 @@ class Update(nn.Module):
         net = net + c1(mask_ix * net[ix])
         net = net + c2(mask_jx * net[jx])
 
+        kk_ids = kk if static_sched is None else static_sched["jx_kk"]
+        ij_ids = (
+            ii * 12345 + jj if static_sched is None
+            else static_sched["jx_ij"]
+        )
         net = net + SoftAgg(DIM, name="agg_kk")(
-            net, kk, valid=valid, lattice=lattice, axis=1
+            net, kk_ids, valid=valid, lattice=lattice, axis=1,
+            precompacted=static_sched is not None,
         )
         net = net + SoftAgg(DIM, name="agg_ij")(
-            net, ii * 12345 + jj, valid=valid, lattice=lattice, axis=2
+            net, ij_ids, valid=valid, lattice=lattice, axis=2,
+            precompacted=static_sched is not None,
         )
 
         net = ln("gru_ln1")(net)

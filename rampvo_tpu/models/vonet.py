@@ -80,8 +80,10 @@ class VONet(nn.Module):
     def encode(self, events, images, mask=None, state=None, n_out: int = 1):
         return self.patchify(events, images, mask, state, n_out)
 
-    def update_op(self, net, inp, corr, ii, jj, kk, valid=None, lattice=None):
-        return self.update(net, inp, corr, ii, jj, kk, valid, lattice)
+    def update_op(self, net, inp, corr, ii, jj, kk, valid=None, lattice=None,
+                  static_sched=None):
+        return self.update(net, inp, corr, ii, jj, kk, valid, lattice,
+                           static_sched)
 
 
 # ---------------------------------------------------------------------------

@@ -46,6 +46,66 @@ def neighbors(kk: jnp.ndarray, jj: jnp.ndarray, valid: jnp.ndarray | None = None
     return ix, jx
 
 
+def neighbors_static_order(kk, jj):
+    """Host-side precomputation for `neighbors_presorted`: the sorted order
+    and track boundaries of a STATIC edge schedule (numpy in, numpy out).
+    The training forward's edge lists are compile-time constants
+    (train/forward.py edge_schedule), so the per-step in-graph lexsort is
+    wasted work — only edge *validity* is dynamic."""
+    import numpy as np
+
+    kk = np.asarray(kk)
+    jj = np.asarray(jj)
+    order = np.lexsort((jj, kk)).astype(np.int32)
+    kk_s = kk[order]
+    track_start = np.concatenate([[True], kk_s[1:] != kk_s[:-1]])
+    return order, track_start
+
+
+def neighbors_presorted(order, track_start, valid):
+    """`neighbors` with the (kk, jj) sort precomputed (static schedule).
+
+    order [E] int32: permutation sorting edges by (kk, jj); track_start [E]
+    bool: True where a new patch track begins in sorted order. `valid` [E]
+    is the only dynamic input; two masked segmented scans replace the sort.
+    Returns (ix, jx) like `neighbors`.
+    """
+    import numpy as np
+
+    E = order.shape[0]
+    order_np = np.asarray(order)
+    seg_np = (np.cumsum(np.asarray(track_start)) - 1).astype(np.int32)
+    order = jnp.asarray(order_np, jnp.int32)
+    valid_s = valid[order]
+    idx = jnp.arange(E, dtype=jnp.int32)
+
+    def seg_prev(vs, seg):
+        # segmented exclusive cummax of valid positions. Offset trick:
+        # segment bases increase, so a plain cummax never crosses back.
+        base = jnp.asarray(seg, jnp.int32) * (E + 1)
+        v = jnp.where(vs, base + idx, -1)
+        c = jnp.concatenate([
+            jnp.full((1,), -1, jnp.int32),
+            jax.lax.cummax(v, axis=0)[:-1],
+        ])
+        return c - base, vs & (c >= base)
+
+    prev_pos, prev_ok = seg_prev(valid_s, seg_np)
+
+    # next = prev of the reversed sequence (segments stay contiguous;
+    # renumber them so ids increase again)
+    seg_rev = (seg_np[-1] - seg_np)[::-1]
+    pos_r, ok_r = seg_prev(valid_s[::-1], seg_rev)
+    next_pos = (E - 1) - pos_r[::-1]
+    next_ok = ok_r[::-1]
+
+    prev_idx = jnp.where(prev_ok, order[jnp.clip(prev_pos, 0, E - 1)], -1)
+    next_idx = jnp.where(next_ok, order[jnp.clip(next_pos, 0, E - 1)], -1)
+    ix = jnp.zeros(E, jnp.int32).at[order].set(prev_idx)
+    jx = jnp.zeros(E, jnp.int32).at[order].set(next_idx)
+    return ix, jx
+
+
 def lattice_neighbors(cell_valid: jnp.ndarray, NI: int, T: int, M: int):
     """`neighbors` over the edge lattice [NI, T, M] — pure index arithmetic.
 

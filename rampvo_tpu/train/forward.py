@@ -155,6 +155,23 @@ class TrainForward:
         self.event_bias = event_bias
         self.sched = edge_schedule(n_frames, M, steps)
 
+        # static-schedule precomputations: the edge lists are compile-time
+        # constants, so the update operator's neighbour sort and SoftAgg
+        # id compaction can happen here instead of in-graph (3 E-element
+        # sorts per step, forward AND backward)
+        from ..ops.neighbors import neighbors_static_order
+
+        order, track_start = neighbors_static_order(self.sched.kk, self.sched.jj)
+        kk_r = np.unique(self.sched.kk, return_inverse=True)[1]
+        ij = self.sched.ii.astype(np.int64) * 12345 + self.sched.jj
+        ij_r = np.unique(ij, return_inverse=True)[1]
+        self.static_sched = {
+            "order": order,
+            "track_start": track_start,
+            "jx_kk": jnp.asarray(kk_r, jnp.int32),
+            "jx_ij": jnp.asarray(ij_r, jnp.int32),
+        }
+
     def __call__(self, params, events, images, poses, disps, intrinsics,
                  mask, rng, structure_only: bool = False):
         cfgM, P, NF = self.M, self.P, self.n_frames
@@ -280,6 +297,7 @@ class TrainForward:
 
             net, (delta, weight) = self.vonet.apply(
                 params, net, imap_flat[kk], corr_in, ii, jj, kk, valid,
+                None, self.static_sched,
                 method=VONet.update_op,
             )
 

@@ -193,3 +193,25 @@ def test_compact_ids():
     ranks = np.asarray(compact_ids(ids, 6))
     # 3 -> 0, 7 -> 1, 100 -> 2
     np.testing.assert_array_equal(ranks, [1, 0, 1, 2, 0, 0])
+
+
+def test_neighbors_presorted_matches_dynamic():
+    """Static-schedule neighbours (host-side sort + in-graph masked scans)
+    must equal the dynamic lexsort path under any validity mask."""
+    from rampvo_tpu.ops.neighbors import (
+        neighbors_presorted,
+        neighbors_static_order,
+    )
+
+    rng = np.random.default_rng(7)
+    E = 60
+    kk = rng.integers(0, 9, size=E)
+    jj = rng.integers(0, 14, size=E)
+    # note: (kk, jj) duplicates possible — both paths use stable order
+    order, track_start = neighbors_static_order(kk, jj)
+    for seed in range(4):
+        valid = jnp.asarray(np.random.default_rng(seed).random(E) < 0.7)
+        a_ix, a_jx = neighbors(jnp.asarray(kk), jnp.asarray(jj), valid)
+        b_ix, b_jx = neighbors_presorted(order, track_start, valid)
+        np.testing.assert_array_equal(np.asarray(a_ix), np.asarray(b_ix))
+        np.testing.assert_array_equal(np.asarray(a_jx), np.asarray(b_jx))
