@@ -771,18 +771,26 @@ def corr_lattice2(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("r", "radius", "interpret", "prepadded", "hw")
+    jax.jit,
+    static_argnames=("r", "radius", "interpret", "prepadded", "hw", "folded"),
 )
 def corr_lattice2_stacked(
     gmap_r, fmap1, fmap2, coords, cell_valid, n, slotmap,
     r: int, radius: int = 3, interpret: bool = False,
-    prepadded: bool = False, hw=None,
+    prepadded: bool = False, hw=None, folded: bool = False,
 ):
     """corr_lattice2 fused straight into the Update operator's input layout
     [E, P*P*(2R+1)^2*2] (level fastest — ops/corr.py corr_stack), in the
     band dtype (bf16). One fused elementwise pass over the kernel output
     instead of per-level f32 finishes + stack + reshape (those materialized
-    ~4x the traffic and dominated the op's fixed cost)."""
+    ~4x the traffic and dominated the op's fixed cost).
+
+    `folded=True`: emit the FOLDED layout [E, (lvl, py, px, y, x)] — no
+    window transpose, no level interleave. Those are static column
+    permutations of the reference layout, so the consumer folds them into
+    the corr-MLP's first Dense kernel instead (`folded_corr_perm`); the
+    [E,P,P,7,7] minor-dim transpose + interleave cost several ms of XLA
+    relayout per update."""
     b1, b2, prep1, prep2, vmask, (E, P, R, D) = _lattice_bands(
         gmap_r, fmap1, fmap2, coords, cell_valid, n, slotmap,
         r, radius, interpret, prepadded, hw,
@@ -804,10 +812,40 @@ def corr_lattice2_stacked(
             + fy * (1 - fx) * vol[..., 1:, :d]
             + fy * fx * vol[..., 1:, 1:]
         )
+        if folded:
+            return out  # [E, P, P, y, x], permute folded into the consumer
         # reference window-order permute: out[..., a, b] <- blend[..., b, a]
         return jnp.swapaxes(out, -1, -2)
 
     o1 = blend(b1, prep1)
     o2 = blend(b2, prep2)
-    out = jnp.stack([o1, o2], axis=-1).reshape(E, P * P * d * d * 2)
+    if folded:
+        out = jnp.concatenate(
+            [o1.reshape(E, P * P * d * d), o2.reshape(E, P * P * d * d)],
+            axis=1,
+        )
+    else:
+        out = jnp.stack([o1, o2], axis=-1).reshape(E, P * P * d * d * 2)
     return out.astype(b1.dtype)
+
+
+@functools.lru_cache(maxsize=4)
+def folded_corr_perm(P: int = 3, R: int = 3):
+    """ref_col -> folded_col map for `corr_lattice2_stacked(folded=True)`.
+
+    Reference column ((py*P+px)*d*d + a*d + b)*2 + l holds
+    blend_l[py, px, y=b, x=a]; folded column l*(P*P*d*d) + (py*P+px)*d*d +
+    y*d + x holds blend_l[py, px, y, x]. A consumer with Dense kernel W
+    [882, Dout] for the reference layout uses W_folded[perm] = W, i.e.
+    `W_folded = W[inv]` with inv[folded_col] = ref_col (returned here)."""
+    d = 2 * R + 1
+    PP = P * P
+    inv = np.zeros(PP * d * d * 2, np.int32)
+    for q in range(PP):
+        for a in range(d):
+            for b in range(d):
+                for l in range(2):
+                    ref_col = (q * d * d + a * d + b) * 2 + l
+                    folded_col = l * PP * d * d + q * d * d + b * d + a
+                    inv[folded_col] = ref_col
+    return inv

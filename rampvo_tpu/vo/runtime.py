@@ -41,6 +41,7 @@ from ..ops.corr_pallas import (
     RING_PAD,
     corr_lattice2_stacked,
     corr_pallas2,
+    folded_corr_perm,
 )
 from .config import VOConfig
 from .state import VOState, edge_table, host_of_row, init_state
@@ -155,6 +156,23 @@ def _reproject_edges(cfg: VOConfig, state: VOState, ii, jj, kk):
                            state.intrinsics)
 
 
+def _fold_corr_fc1(params):
+    """Permute corr_fc1's kernel rows so it consumes the FOLDED corr layout
+    (corr_lattice2_stacked(folded=True)) — the window transpose and level
+    interleave become a 1.3MB weight gather instead of an [E, 882]-wide
+    relayout every update."""
+    inv = jnp.asarray(folded_corr_perm(3, 3))
+    p = dict(params)
+    pp = dict(p["params"])
+    up = dict(pp["update"])
+    fc = dict(up["corr_fc1"])
+    fc["kernel"] = fc["kernel"][inv]
+    up["corr_fc1"] = fc
+    pp["update"] = up
+    p["params"] = pp
+    return p
+
+
 def _resolve_corr_impl(cfg: VOConfig) -> str:
     impl = cfg.CORR_IMPL
     if impl == "auto":
@@ -177,12 +195,14 @@ def _edge_corr_ctx_lattice(cfg: VOConfig, state: VOState, ii, jj, kk):
 
     coords = _reproject_edges(cfg, state, ii, jj, kk)
     h4, w4 = state.hw4
+    # folded layout: the window transpose + level interleave are folded
+    # into corr_fc1's kernel by update_fn (ops/corr_pallas.folded_corr_perm)
     corr_in = corr_lattice2_stacked(
         state.gmap_r, state.fmap1_r, state.fmap2_r,
         coords.reshape(NI, T, M, P, P, 2), state.cell_valid,
         state.n, state.slotmap, cfg.PATCH_LIFETIME, 3,
         interpret=cfg.CORR_IMPL == "lattice_interpret",
-        prepadded=True, hw=(h4, w4, h4 // 4, w4 // 4),
+        prepadded=True, hw=(h4, w4, h4 // 4, w4 // 4), folded=True,
     )
 
     slot_k = state.slotmap[jnp.clip(kk // M, 0, L - 1)]
@@ -518,6 +538,8 @@ def make_vo_frame(cfg: VOConfig, vonet: VONet, event_bias: bool = True,
         return fmap, imap, enc2
 
     def update_fn(params, net, ctx, corr_in, ii, jj, kk, valid, lattice=None):
+        if lattice is not None:
+            params = _fold_corr_fc1(params)  # corr_in is in folded layout
         if cfg.MIXED_PRECISION:
             # inference update runs in half precision like the reference's
             # fp16 autocast (Ramp_vo.py:23,280-284); outputs restored to f32
@@ -633,6 +655,8 @@ def make_final_updates(cfg: VOConfig, vonet: VONet, iters: int = 12,
     """Terminal refinement: N extra updates (ref: evaluate.py:254-255)."""
 
     def update_fn(params, net, ctx, corr_in, ii, jj, kk, valid, lattice=None):
+        if lattice is not None:
+            params = _fold_corr_fc1(params)  # corr_in is in folded layout
         return vonet.apply(
             params, net, ctx, corr_in, ii, jj, kk, valid, lattice,
             method=VONet.update_op,

@@ -131,3 +131,45 @@ class TestCorrLattice:
             vb2, st.astype(jnp.float32) - ref, 0.0)).max())
         assert ds / scale < 2e-2, ds
         assert bool(jnp.isfinite(st.astype(jnp.float32)).all())
+
+    def test_folded_layout_permutation(self):
+        """folded=True output + folded_corr_perm == reference stacked layout
+        (so folding the permutation into corr_fc1's kernel is exact)."""
+        from rampvo_tpu.ops.corr_pallas import folded_corr_perm
+
+        rng = np.random.RandomState(5)
+        NI, T, M, P, C = 3, 5, 8, 3, 128
+        MEM, H, W = 4, 40, 64
+        r = (T + 1) // 2
+        n = 6
+        gmap_r = jnp.asarray(rng.rand(MEM, M, P, P, C), jnp.float32)
+        fmap1 = jnp.asarray(rng.rand(MEM, H, W, C), jnp.float32)
+        fmap2 = jnp.asarray(rng.rand(MEM, H // 4, W // 4, C), jnp.float32)
+        coords = jnp.asarray(
+            rng.rand(NI, T, M, P, P, 2) * np.array([W, H]), jnp.float32
+        )
+        i_row = np.arange(NI)[:, None]
+        tt = np.arange(T)[None, :]
+        i = n - 1 - np.mod(n - 1 - i_row, NI) + 0 * tt
+        j = i + tt - (r - 1)
+        cell_valid = jnp.asarray((i >= 0) & (j >= 0) & (j <= n - 1))
+        slotmap = jnp.asarray(rng.randint(0, MEM, 64), jnp.int32)
+
+        ref = corr_lattice2_stacked(
+            gmap_r, fmap1, fmap2, coords, cell_valid,
+            jnp.int32(n), slotmap, r, 3, interpret=True,
+        )
+        fol = corr_lattice2_stacked(
+            gmap_r, fmap1, fmap2, coords, cell_valid,
+            jnp.int32(n), slotmap, r, 3, interpret=True, folded=True,
+        )
+        inv = folded_corr_perm(3, 3)
+        # column `fc` of folded equals column inv[fc] of reference
+        np.testing.assert_array_equal(
+            np.asarray(fol), np.asarray(ref)[:, inv]
+        )
+        # and a Dense with permuted kernel gives identical outputs
+        W1 = rng.rand(882, 16).astype(np.float32)
+        a = np.asarray(ref, np.float32) @ W1
+        b = np.asarray(fol, np.float32) @ W1[inv]
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-4)
