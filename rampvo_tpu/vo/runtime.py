@@ -453,31 +453,31 @@ def _keyframe(cfg: VOConfig, state: VOState) -> VOState:
     # edge removal + index shift (ref: Ramp_vo.py:251-256). The reference
     # renumbers ii/jj/kk in place; with derived lattice indices the shift
     # becomes a row/cell remap: new cell (i', t') pulls from old cell
-    # (i mod NI, j - i + r - 1) with i = i' + (i' >= k), j = j' + (j' >= k)
+    # (i mod NI, j - i + r - 1) with i = i' + (i' >= k), j = j' + (j' >= k).
+    # Unconditional (the indices are the identity when not evicting):
+    # a lax.cond here forces XLA to copy the big net/last_weight operands
+    # through the conditional every frame anyway.
     n_new = n - evict.astype(jnp.int32)
 
-    def remap(args):
-        cv, net, lw = args
-        i_row = jnp.arange(NI, dtype=jnp.int32)[:, None]
-        tt = jnp.arange(T, dtype=jnp.int32)[None, :]
-        i_new = host_of_row(i_row, n_new, NI) + 0 * tt
-        j_new = i_new + tt - (r - 1)
-        i_old = i_new + (i_new >= k).astype(jnp.int32)
-        j_old = j_new + (j_new >= k).astype(jnp.int32)
-        t_old = j_old - i_old + (r - 1)
-        okc = (
-            (t_old >= 0) & (t_old < T) & (i_old != k) & (j_old != k)
-            & (i_old >= 0)
-        )
-        src = jnp.mod(i_old, NI) * T + jnp.clip(t_old, 0, T - 1)
-        cv2 = (cv.reshape(NI * T)[src] & okc).reshape(NI, T)
-        net2 = net.reshape(NI * T, M, -1)[src].reshape(net.shape)
-        lw2 = lw.reshape(NI * T, M, 2)[src].reshape(lw.shape)
-        return cv2, net2, lw2
-
-    cell_valid, net, lw = jax.lax.cond(
-        evict, remap, lambda a: a,
-        (state.cell_valid, state.net, state.last_weight),
+    i_row = jnp.arange(NI, dtype=jnp.int32)[:, None]
+    tt = jnp.arange(T, dtype=jnp.int32)[None, :]
+    sh = evict.astype(jnp.int32)
+    i_new = host_of_row(i_row, n_new, NI) + 0 * tt
+    j_new = i_new + tt - (r - 1)
+    i_old = i_new + sh * (i_new >= k).astype(jnp.int32)
+    j_old = j_new + sh * (j_new >= k).astype(jnp.int32)
+    t_old = j_old - i_old + (r - 1)
+    okc = (
+        (t_old >= 0) & (t_old < T) & (i_old >= 0)
+        & (~evict | ((i_old != k) & (j_old != k)))
+    )
+    src = jnp.mod(i_old, NI) * T + jnp.clip(t_old, 0, T - 1)
+    cell_valid = (
+        state.cell_valid.reshape(NI * T)[src] & okc
+    ).reshape(NI, T)
+    net = state.net.reshape(NI * T, M, -1)[src].reshape(state.net.shape)
+    lw = state.last_weight.reshape(NI * T, M, 2)[src].reshape(
+        state.last_weight.shape
     )
 
     # map shifts (replaces the reference's physical buffer moves :258-268)
