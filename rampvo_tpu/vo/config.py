@@ -37,7 +37,11 @@ class VOConfig:
 
     # TPU-native capacities (not in the reference; sized from its dynamics)
     MAX_FRAMES: int = 4096       # global frame-id capacity (>= total frames)
-    MEM: int = 32                # feature ring depth (Ramp_vo.py:72)
+    # feature ring depth. The reference's mem=32 ring (Ramp_vo.py:72)
+    # ALIASES for the oldest reachable targets (a host at n-REMOVAL_WINDOW
+    # keeps backward edges to n-REMOVAL_WINDOW-PATCH_LIFETIME+1 = n-34 with
+    # default config); 40 slots cover the true FEATURE_WINDOW reach.
+    MEM: int = 40
 
     @property
     def M(self) -> int:
@@ -64,6 +68,13 @@ class VOConfig:
     def POSE_WINDOW(self) -> int:
         # pose values BA may touch (free + fixed-but-linearized)
         return self.REMOVAL_WINDOW + 4
+
+    @property
+    def FEATURE_WINDOW(self) -> int:
+        # frames whose feature-ring slot must stay live: the oldest host in
+        # the removal window keeps backward edges PATCH_LIFETIME-1 frames
+        # further back (+1 slack for the in-flight commit)
+        return min(self.REMOVAL_WINDOW + self.PATCH_LIFETIME, self.MEM - 2)
 
     @property
     def PATCH_WINDOW(self) -> int:

@@ -109,7 +109,7 @@ def _commit(cfg: VOConfig, state: VOState, fmap, gmap, imap_vec, patches_new,
     colors = state.colors.at[g].set(clr[0])
 
     # free ring slots of frames that aged out of the feature window
-    old = (jnp.arange(L) < n - cfg.POSE_WINDOW) & (state.slotmap >= 0)
+    old = (jnp.arange(L) < n - cfg.FEATURE_WINDOW) & (state.slotmap >= 0)
     slot_free = state.slot_free.at[
         jnp.where(old, state.slotmap, MEM)
     ].set(True, mode="drop")
