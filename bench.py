@@ -42,6 +42,11 @@ def main():
         MIXED_PRECISION=True,
         PROBE_THRESH=-1.0,  # synthetic frames carry no real motion signal;
         # force the full update+keyframe path so we measure the real workload
+        KEYFRAME_THRESH=0.0,  # random-net motionmag ~ 0 would evict a frame
+        # every step, pinning n ~ 8 and leaving the edge lattice ~4x empty —
+        # flattering corr/BA. Never-evict measures the FULL steady-state
+        # windows a real tracking run sustains (round-1 bench measured the
+        # half-empty state; see VERDICT r01 weak #7).
     )
     vonet = VONet(input_mode="MultiScale")
     params = vonet.init(
@@ -62,8 +67,9 @@ def main():
         im = jnp.asarray(rng.rand(1, H, W, 3), jnp.float32)
         return ev, im
 
-    # warmup: compile + initialize the SLAM (first 10 frames incl. init burst)
-    n_warm = 10
+    # warmup: compile + initialize the SLAM, then fill the edge lattice to
+    # steady state (full windows need n >= NI + PATCH_LIFETIME frames)
+    n_warm = 40
     for i in range(n_warm):
         ev, im = frame(i)
         state = vo_frame(params, state, ev, im, mask, intr)

@@ -76,13 +76,13 @@ def run(config_VO: VOConfig, params, eval_cfg, data_list,
         num_event_bins=train_cfg["num_event_bins"], ht=H, wd=W,
         event_bias=bias, seed=seed,
     )
-    import jax.numpy as jnp
+    from ..data.loader import device_prefetch
 
-    for t, d in enumerate(data_list):
+    for t, d in enumerate(device_prefetch(data_list)):
         slam(
             t,
-            jnp.asarray(d["events"]),  # [T=1, H, W, C]
-            jnp.asarray(d["image"]),   # [1, H, W, 3]
+            d["events"],  # [T=1, H, W, C], prefetched to device
+            d["image"],   # [1, H, W, 3]
             d["mask"],
             d["intrinsics"],
         )

@@ -63,6 +63,39 @@ def make_representation(cfg: dict):
     raise NotImplementedError(kind)
 
 
+def device_prefetch(items, depth: int = 2, keys=("events", "image")):
+    """Double-buffered host->device prefetch (SURVEY §7 step 7): issue
+    `jax.device_put` for the next `depth` items while the current one is
+    consumed, overlapping the H2D copy with device compute. Only `keys` are
+    transferred (the mask must stay host-side — it routes frames between
+    the two jitted entry points without a device readback)."""
+    import collections
+
+    import jax
+
+    def put(d):
+        return {
+            k: jax.device_put(v) if k in keys and isinstance(v, np.ndarray)
+            else v
+            for k, v in d.items()
+        }
+
+    buf = collections.deque()
+    it = iter(items)
+    for _ in range(depth):
+        try:
+            buf.append(put(next(it)))
+        except StopIteration:
+            break
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield out
+
+
 def data_loader_all_events(
     config: dict,
     full_scene: str,

@@ -166,10 +166,21 @@ class PixelLSTM(nn.Module):
         b_ih = self.param("bias_ih", init, (4 * self.hidden,))
         b_hh = self.param("bias_hh", init, (4 * self.hidden,))
 
+        bias = b_ih + b_hh
+
+        if carry is None and T == 1:
+            # zero-carry single-step fast path (MultiScale inference: the
+            # per-call LSTMs start fresh every frame, extractor.py:366-385):
+            # h0 = c0 = 0 makes the h @ w_hh matmul and the forget-gate
+            # term exactly zero — one [H*W, C] x [C, 4h] matmul + pointwise
+            gates = x[0] @ w_ih + bias
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            c = nn.sigmoid(i) * jnp.tanh(g)
+            h = nn.sigmoid(o) * jnp.tanh(c)
+            return h[None], (h, c)
+
         if carry is None:
             carry = self.initial_carry(H, W, self.hidden, x.dtype)
-
-        bias = b_ih + b_hh
 
         def step(hc, x_t):
             # the input projection lives INSIDE the step (still one

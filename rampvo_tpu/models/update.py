@@ -28,7 +28,7 @@ class Update(nn.Module):
 
     @nn.compact
     def __call__(self, net, inp, corr, ii, jj, kk, valid=None, lattice=None,
-                 static_sched=None):
+                 static_sched=None, lattice_contig: bool = False):
         """`lattice=(NI, T, M)` (static): the edge set is the full lattice in
         row-major order — neighbour indices and both SoftAgg groups become
         dense lattice operations (axis reductions) instead of three
@@ -57,26 +57,58 @@ class Update(nn.Module):
         net = net + inp + corr_mlp(corr)
         net = ln("norm")(net)
 
-        if lattice is not None:
+        if lattice is not None and lattice_contig:
+            # temporal neighbours over the lattice are t-axis shifts WHEN a
+            # row's valid cells form a contiguous t-range — true in the VO
+            # runtime by construction (_append_edges fills suffix/prefix
+            # cells; the keyframe remap closes the evicted target's hole by
+            # shifting j > k down) — so prev/next edge is exactly
+            # (row, t -/+ 1, m). Shifted copies run at streaming bandwidth
+            # where net[ix] gathers ran at the XLA gather rate (~5x slower
+            # at [60k, 384]). For gapped validity use lattice_contig=False
+            # (nearest-valid semantics, matching fastba ba.cpp:59-97).
             NI, T, M = lattice
             cellv = (
-                None if valid is None
+                jnp.ones((NI, T), bool) if valid is None
                 else valid.reshape(NI, T, M)[:, :, 0]
             )
-            if cellv is None:
-                cellv = jnp.ones((NI, T), bool)
-            ix, jx = lattice_neighbors(cellv, NI, T, M)
-        elif static_sched is not None:
-            vv = (jnp.ones(net.shape[0], bool) if valid is None else valid)
-            ix, jx = neighbors_presorted(
-                static_sched["order"], static_sched["track_start"], vv
+            nl = net.reshape(NI, T, M, -1)
+            z = jnp.zeros_like(nl[:, :1])
+            pm = jnp.concatenate(
+                [jnp.zeros((NI, 1), bool), cellv[:, :-1]], axis=1
+            ).astype(net.dtype)[:, :, None, None]
+            nm = jnp.concatenate(
+                [cellv[:, 1:], jnp.zeros((NI, 1), bool)], axis=1
+            ).astype(net.dtype)[:, :, None, None]
+            prev = jnp.concatenate([z, nl[:, :-1]], axis=1)
+            net = net + c1((pm * prev).reshape(net.shape))
+            # c2 reads the net AFTER the c1 update (ref: net.py:77-82)
+            nl2 = net.reshape(NI, T, M, -1)
+            nxt = jnp.concatenate([nl2[:, 1:], z], axis=1)
+            net = net + c2((nm * nxt).reshape(net.shape))
+        elif lattice is not None:
+            NI, T, M = lattice
+            cellv = (
+                jnp.ones((NI, T), bool) if valid is None
+                else valid.reshape(NI, T, M)[:, :, 0]
             )
+            ix, jx = lattice_neighbors(cellv, NI, T, M)
+            mask_ix = (ix >= 0).astype(net.dtype)[:, None]
+            mask_jx = (jx >= 0).astype(net.dtype)[:, None]
+            net = net + c1(mask_ix * net[ix])
+            net = net + c2(mask_jx * net[jx])
         else:
-            ix, jx = neighbors(kk, jj, valid=valid)
-        mask_ix = (ix >= 0).astype(net.dtype)[:, None]
-        mask_jx = (jx >= 0).astype(net.dtype)[:, None]
-        net = net + c1(mask_ix * net[ix])
-        net = net + c2(mask_jx * net[jx])
+            if static_sched is not None:
+                vv = (jnp.ones(net.shape[0], bool) if valid is None else valid)
+                ix, jx = neighbors_presorted(
+                    static_sched["order"], static_sched["track_start"], vv
+                )
+            else:
+                ix, jx = neighbors(kk, jj, valid=valid)
+            mask_ix = (ix >= 0).astype(net.dtype)[:, None]
+            mask_jx = (jx >= 0).astype(net.dtype)[:, None]
+            net = net + c1(mask_ix * net[ix])
+            net = net + c2(mask_jx * net[jx])
 
         kk_ids = kk if static_sched is None else static_sched["jx_kk"]
         ij_ids = (

@@ -81,9 +81,9 @@ class VONet(nn.Module):
         return self.patchify(events, images, mask, state, n_out)
 
     def update_op(self, net, inp, corr, ii, jj, kk, valid=None, lattice=None,
-                  static_sched=None):
+                  static_sched=None, lattice_contig: bool = False):
         return self.update(net, inp, corr, ii, jj, kk, valid, lattice,
-                           static_sched)
+                           static_sched, lattice_contig)
 
 
 # ---------------------------------------------------------------------------

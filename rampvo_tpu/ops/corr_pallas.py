@@ -534,6 +534,119 @@ def _kernel_lat(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref,
         jax.lax.fori_loop(0, M // GANG, edge_gang, 0)
 
 
+def _kernel_lat_paired(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref,
+                       w0_ref, w1_ref, out_ref,
+                       scratch1, scratch2, tile_scratch, dmt_scratch,
+                       roll_scr0, roll_scr1, last_slot, sem1, sem2,
+                       *, C, PP, D, M, NI):
+    """_kernel_lat with the bilinear blend and window compaction done
+    IN-KERNEL: the kernel emits the update net's corr input directly.
+
+    Per window: the same single alignment roll as _kernel_lat, stored to a
+    per-level [G*PP, D*TX] scratch. Per gang (NOT per window — scalar SMEM
+    weight loads and per-window rolls measured 4x slower than the whole
+    kernel): two uniform lane-rolls blend the whole scratch with bilinear
+    weights broadcast from a [G*PP, 8] VMEM block (x-weights carry the
+    out-of-tile mask), then one constant 0/1 matmul [G*PP, D*TX] x
+    [D*TX, 64] compacts each blended 8x8 window into 64 contiguous lanes,
+    and the two pyramid levels pair into 128-lane rows —
+    out[e, q, l*64 + y*8 + x] = blend_l[e, q, y, x] (y, x < 2R+1 real;
+    row/col 7 garbage, killed by zero rows of the folded corr_fc1 kernel,
+    ops.corr_pallas.paired_corr_perm).
+
+    This removes the [E, PP, D, TX] band materialization + the XLA band
+    read/blend finish (~8 ms/update at production size) entirely
+    (ref semantics: altcorr/correlation_kernel.cu:221-232)."""
+    b = pl.program_id(0)
+    valid = tabs[b, 4] < NI
+    slot = tabs[b, 2]
+
+    @pl.when(b == 0)
+    def _init():
+        last_slot[0] = -1
+
+    @pl.when(valid & (slot != last_slot[0]))
+    def _load():
+        cp1 = pltpu.make_async_copy(fmap1_hbm.at[slot], scratch1, sem1)
+        cp2 = pltpu.make_async_copy(fmap2_hbm.at[slot], scratch2, sem2)
+        cp1.start()
+        cp2.start()
+        cp1.wait()
+        cp2.wait()
+        last_slot[0] = slot
+
+    @pl.when(valid)
+    def _compute():
+        # constant compaction matrix: lane r*TX+c -> lane y*8+x (r==y, c==x)
+        rowid = jax.lax.broadcasted_iota(jnp.int32, (D * TX, 64), 0)
+        outid = jax.lax.broadcasted_iota(jnp.int32, (D * TX, 64), 1)
+        S = (
+            (rowid // TX == outid // 8) & (rowid % TX == outid % 8)
+        ).astype(jnp.bfloat16)
+
+        def edge_gang(i, carry):
+            for u in range(GANG):
+                e = i * GANG + u
+                for lvl, scratch in ((0, scratch1), (1, scratch2)):
+                    tile = scratch[
+                        pl.ds(scal_ref[0, 0, e, 2 * lvl], TY),
+                        pl.ds(
+                            pl.multiple_of(scal_ref[0, 0, e, 2 * lvl + 1], 8),
+                            TX,
+                        ),
+                        :,
+                    ]
+                    row = (u * 2 + lvl) * TY * TX
+                    tile_scratch[pl.ds(row, TY * TX), :] = tile.reshape(
+                        TY * TX, C
+                    )
+
+            g_gang = g_ref[0, pl.ds(i * GANG * PP, GANG * PP), :]
+            dmt = jax.lax.dot_general(
+                g_gang, tile_scratch[...],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [GANG*PP, GANG*2*TY*TX]
+            dmt_scratch[...] = dmt
+
+            for u in range(GANG):
+                e = i * GANG + u
+                for lvl, rs in ((0, roll_scr0), (1, roll_scr1)):
+                    base = (u * 2 + lvl) * TY * TX
+                    for q in range(PP):
+                        row = dmt_scratch[
+                            pl.ds(u * PP + q, 1), pl.ds(base, TY * TX)
+                        ]
+                        off = scal_ref[0, 0, e, 4 + lvl * PP + q]
+                        win = pltpu.roll(row, -off, 1)
+                        rs[pl.ds(u * PP + q, 1), :] = win[:, : D * TX]
+
+            def blend(rs, w_ref):
+                w = w_ref[0, 0, i]                   # [GANG*PP, 8] f32
+                A = rs[...]                          # [GANG*PP, D*TX] f32
+                ux = w[:, 0:1] * A + w[:, 1:2] * pltpu.roll(
+                    A, D * TX - 1, 1
+                )
+                vy = w[:, 2:3] * ux + w[:, 3:4] * pltpu.roll(
+                    ux, D * TX - TX, 1
+                )
+                return jax.lax.dot_general(
+                    vy.astype(jnp.bfloat16), S,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [GANG*PP, 64]
+
+            pair = jnp.concatenate(
+                [blend(roll_scr0, w0_ref), blend(roll_scr1, w1_ref)], axis=1
+            )  # [GANG*PP, 128]
+            out_ref[0, 0, pl.ds(i * GANG, GANG)] = pair.astype(
+                out_ref.dtype
+            ).reshape(GANG, PP, 128)
+            return carry
+
+        jax.lax.fori_loop(0, M // GANG, edge_gang, 0)
+
+
 RING_PAD = 24  # = 3*D for D=8 (radius-3 windows)
 
 
@@ -595,31 +708,14 @@ def _finish_aligned(band, prep, E, P, R, D, vmask=None):
     return out.reshape(E, P, P, d * d)
 
 
-def _lattice_bands(
-    gmap_r, fmap1, fmap2, coords, cell_valid, n, slotmap,
-    r, radius, interpret, prepadded, hw,
-):
-    """Shared core of the lattice kernels: tables + geometry + pallas call.
-    Returns (band1, band2, prep1, prep2, vmask, (E, P, R, D))."""
-    NI, T, M, P, _, _ = coords.shape
-    if prepadded:
-        MEM, C = fmap1.shape[0], fmap1.shape[3]
-        H1, W1, H2, W2 = hw
-    else:
-        MEM, H1, W1, C = fmap1.shape
-        _, H2, W2, _ = fmap2.shape
-    L = slotmap.shape[0]
-    R = radius
-    D = 2 * R + 2
-    PP = P * P
-    pad = 3 * D
-    E = NI * T * M
-    assert M % GANG == 0, "lattice kernel needs M % 8 == 0"
-
+def _cell_tables(NI, T, M, r, n, cell_valid, slotmap, MEM, L):
+    """Per-grid-step tables for the lattice kernels (tiny; replaces the
+    60k sort machinery of corr_pallas2). tabs [NB, 5]: (in_row, t, slot_j,
+    gslot, out_row); out_row == NI marks an invalid cell (routed to the
+    trash row by the out index_map)."""
     NTGT = NI + r - 2          # targets with any possibly-live cell
     NB = NTGT * T
 
-    # ---- per-block tables (tiny; replaces the 60k sort machinery) ----
     bidx = jnp.arange(NB, dtype=jnp.int32)
     a = bidx // T
     t = bidx % T
@@ -645,6 +741,48 @@ def _lattice_bands(
     tabs = jnp.stack(
         [in_row, t_io, slot_j, gslot, out_row], axis=1
     ).astype(jnp.int32)
+    return tabs, NB
+
+
+def _cell_vmask(NI, T, M, r, n, cell_valid):
+    """Per-edge validity: cells the lattice grid actually computed (mirrors
+    the tabs `valid`, re-expressed per (row, t) cell). Rows of cells outside
+    this mask are UNINITIALIZED kernel output memory and must be killed with
+    `where` (0 * garbage can be NaN/Inf)."""
+    NTGT = NI + r - 2
+    i_row = jnp.arange(NI, dtype=jnp.int32)[:, None]
+    tt = jnp.arange(T, dtype=jnp.int32)[None, :]
+    i_host = n - 1 - jnp.mod(n - 1 - i_row, NI) + 0 * tt
+    j_tgt = i_host + tt - (r - 1)
+    cv = (
+        cell_valid & (i_host >= 0) & (j_tgt >= 0) & (j_tgt <= n - 1)
+        & (j_tgt >= n - NTGT)
+    )
+    return jnp.broadcast_to(cv[:, :, None], (NI, T, M)).reshape(NI * T * M)
+
+
+def _lattice_bands(
+    gmap_r, fmap1, fmap2, coords, cell_valid, n, slotmap,
+    r, radius, interpret, prepadded, hw,
+):
+    """Shared core of the lattice kernels: tables + geometry + pallas call.
+    Returns (band1, band2, prep1, prep2, vmask, (E, P, R, D))."""
+    NI, T, M, P, _, _ = coords.shape
+    if prepadded:
+        MEM, C = fmap1.shape[0], fmap1.shape[3]
+        H1, W1, H2, W2 = hw
+    else:
+        MEM, H1, W1, C = fmap1.shape
+        _, H2, W2, _ = fmap2.shape
+    L = slotmap.shape[0]
+    R = radius
+    D = 2 * R + 2
+    PP = P * P
+    pad = 3 * D
+    E = NI * T * M
+    assert M % GANG == 0, "lattice kernel needs M % 8 == 0"
+
+    tabs, NB = _cell_tables(NI, T, M, r, n, cell_valid, slotmap, MEM, L)
 
     # ---- per-edge window geometry, in lattice order ----
     cflat = coords.reshape(E, P, P, 2)
@@ -719,19 +857,7 @@ def _lattice_bands(
         interpret=interpret,
     )(tabs, fpad1, fpad2, gflat, scal)
 
-    # per-edge validity: cells the grid actually computed. Mirrors the tabs
-    # `valid` above, re-expressed per (row, t) cell; the extra j >= n-NTGT
-    # clause zeroes any (theoretically impossible) valid-but-uncovered cell
-    # instead of leaking uninitialized output memory.
-    i_row = jnp.arange(NI, dtype=jnp.int32)[:, None]
-    tt = jnp.arange(T, dtype=jnp.int32)[None, :]
-    i_host = n - 1 - jnp.mod(n - 1 - i_row, NI) + 0 * tt
-    j_tgt = i_host + tt - (r - 1)
-    cv = (
-        cell_valid & (i_host >= 0) & (j_tgt >= 0) & (j_tgt <= n - 1)
-        & (j_tgt >= n - NTGT)
-    )
-    vmask = jnp.broadcast_to(cv[:, :, None], (NI, T, M)).reshape(E)
+    vmask = _cell_vmask(NI, T, M, r, n, cell_valid)
 
     b1 = band1[:NI].reshape(E, PP, D, TX)
     b2 = band2[:NI].reshape(E, PP, D, TX)
@@ -827,6 +953,162 @@ def corr_lattice2_stacked(
     else:
         out = jnp.stack([o1, o2], axis=-1).reshape(E, P * P * d * d * 2)
     return out.astype(b1.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("r", "radius", "interpret", "prepadded", "hw")
+)
+def corr_lattice_paired(
+    gmap_r: jnp.ndarray,    # [MEM, M, P, P, C] gmap ring
+    fmap1: jnp.ndarray,     # [MEM, H, W, C]   level-1 ring (pre-padded ok)
+    fmap2: jnp.ndarray,     # [MEM, H//4, W//4, C] level-2 ring
+    coords: jnp.ndarray,    # [NI, T, M, P, P, 2] lattice-ordered coords
+    cell_valid: jnp.ndarray,  # [NI, T] bool
+    n,                      # traced int32: live keyframe count
+    slotmap: jnp.ndarray,   # [L] int32 logical frame -> ring slot
+    r: int,                 # PATCH_LIFETIME (static)
+    radius: int = 3,
+    interpret: bool = False,
+    prepadded: bool = False,
+    hw=None,                # (H1, W1, H2, W2) when prepadded
+) -> jnp.ndarray:
+    """Lattice correlation with the bilinear blend + window compaction done
+    IN-KERNEL (_kernel_lat_paired): returns the update net's corr input
+    directly as [NI*T*M, PP*128] bf16 in the PAIRED layout
+    out[e, q*128 + l*64 + y*8 + x] = blend_l[e, q, y, x] (y, x < 2R+1 real,
+    row/col 7 garbage). Consumers fold the layout into corr_fc1 via
+    `paired_corr_perm`. Replaces corr_lattice2_stacked's band output + XLA
+    finish (~8 ms/update at production size) with a single where() pass."""
+    NI, T, M, P, _, _ = coords.shape
+    if prepadded:
+        MEM, C = fmap1.shape[0], fmap1.shape[3]
+        H1, W1, H2, W2 = hw
+    else:
+        MEM, H1, W1, C = fmap1.shape
+        _, H2, W2, _ = fmap2.shape
+    L = slotmap.shape[0]
+    R = radius
+    D = 2 * R + 2
+    PP = P * P
+    pad = 3 * D
+    E = NI * T * M
+    assert M % GANG == 0, "lattice kernel needs M % 8 == 0"
+    assert D == 8, "paired kernel packs 8x8 windows into 64 lanes"
+
+    tabs, NB = _cell_tables(NI, T, M, r, n, cell_valid, slotmap, MEM, L)
+    NG = M // GANG
+
+    cflat = coords.reshape(E, P, P, 2)
+    prep1 = _level_prep(cflat, H1, W1, P, R, D, pad)
+    prep2 = _level_prep(cflat / 4.0, H2, W2, P, R, D, pad)
+
+    def level_cols(prep):
+        x, y, x0, y0, ty, tx, oy, ox, ok = prep
+        off = (oy * TX + ox).reshape(E, PP)
+        # bilinear weights, gang-row layout [NI, T, NG, GANG*PP, 8]; the
+        # out-of-tile mask folds into the x-pair so clipped windows blend
+        # to exactly zero
+        fx = x - x0.astype(jnp.float32)
+        fy = y - y0.astype(jnp.float32)
+        okf = ok.astype(jnp.float32)
+        w = jnp.stack(
+            [okf * (1 - fx), okf * fx, 1 - fy, fy], axis=-1
+        ).reshape(NI, T, NG, GANG * PP, 4)
+        w = jnp.pad(w, ((0, 0),) * 4 + ((0, 4),))
+        return ty, tx, off, w
+
+    ty1, tx1, off1, w1 = level_cols(prep1)
+    ty2, tx2, off2, w2 = level_cols(prep2)
+    scal = jnp.concatenate(
+        [ty1[:, None], tx1[:, None], ty2[:, None], tx2[:, None],
+         off1, off2], axis=1,
+    ).astype(jnp.int32).reshape(NI, T, M, 4 + 2 * PP)
+
+    if prepadded:
+        fpad1, fpad2 = fmap1, fmap2
+    else:
+        fpad1 = _pad_ring(fmap1, pad)
+        fpad2 = _pad_ring(fmap2, pad)
+    Hp1, Wp1 = fpad1.shape[1], fpad1.shape[2]
+    Hp2, Wp2 = fpad2.shape[1], fpad2.shape[2]
+
+    gflat = gmap_r.reshape(MEM, M * PP, C)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_lat_paired, C=C, PP=PP, D=D, M=M, NI=NI),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(NB,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(
+                    (1, M * PP, C), lambda b, tb: (tb[b, 3], 0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, M, 4 + 2 * PP),
+                    lambda b, tb: (tb[b, 0], tb[b, 1], 0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, NG, GANG * PP, 8),
+                    lambda b, tb: (tb[b, 0], tb[b, 1], 0, 0, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, NG, GANG * PP, 8),
+                    lambda b, tb: (tb[b, 0], tb[b, 1], 0, 0, 0),
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, M, PP, 128),
+                lambda b, tb: (tb[b, 4], tb[b, 1], 0, 0, 0),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((Hp1, Wp1, C), fmap1.dtype),
+                pltpu.VMEM((Hp2, Wp2, C), fmap2.dtype),
+                pltpu.VMEM((GANG * 2 * TY * TX, C), fmap1.dtype),
+                pltpu.VMEM((GANG * PP, GANG * 2 * TY * TX), jnp.float32),
+                pltpu.VMEM((GANG * PP, D * TX), jnp.float32),
+                pltpu.VMEM((GANG * PP, D * TX), jnp.float32),
+                pltpu.SMEM((1,), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (NI + 1, T, M, PP, 128), jnp.bfloat16
+        ),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(tabs, fpad1, fpad2, gflat, scal, w1, w2)
+
+    vmask = _cell_vmask(NI, T, M, r, n, cell_valid)
+    out = out[:NI].reshape(E, PP * 128)
+    return jnp.where(vmask[:, None], out, jnp.bfloat16(0.0))
+
+
+@functools.lru_cache(maxsize=4)
+def paired_corr_perm(P: int = 3, R: int = 3):
+    """ref_col (or -1) for each PAIRED-layout column of corr_lattice_paired.
+
+    Paired column q*128 + l*64 + y*8 + x holds blend_l[q, y, x] for
+    y, x < 2R+1 (garbage otherwise); reference column
+    ((py*P+px)*d*d + a*d + b)*2 + l holds blend_l[py, px, y=b, x=a].
+    A consumer with a Dense kernel W [P*P*d*d*2, Dout] for the reference
+    layout uses W_paired[c] = W[idx[c]] with zero rows where idx == -1."""
+    d = 2 * R + 1
+    PP = P * P
+    idx = np.full(PP * 128, -1, np.int32)
+    for q in range(PP):
+        for l in range(2):
+            for y in range(d):
+                for x in range(d):
+                    idx[q * 128 + l * 64 + y * 8 + x] = (
+                        (q * d * d + x * d + y) * 2 + l
+                    )
+    return idx
 
 
 @functools.lru_cache(maxsize=4)

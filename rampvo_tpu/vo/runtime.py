@@ -553,6 +553,8 @@ def make_vo_frame(cfg: VOConfig, vonet: VONet, event_bias: bool = True,
             corr_in = corr_in.astype(jnp.bfloat16)
         net2, (delta, weight) = vonet.apply(
             params, net, ctx, corr_in, ii, jj, kk, valid, lattice,
+            # the runtime lattice keeps each row's valid cells t-contiguous
+            lattice_contig=True,
             method=VONet.update_op,
         )
         return (
@@ -659,6 +661,7 @@ def make_final_updates(cfg: VOConfig, vonet: VONet, iters: int = 12,
             params = _fold_corr_fc1(params)  # corr_in is in folded layout
         return vonet.apply(
             params, net, ctx, corr_in, ii, jj, kk, valid, lattice,
+            lattice_contig=True,
             method=VONet.update_op,
         )
 
@@ -703,7 +706,7 @@ class RampVO:
 
         self._vo_frame = make_vo_frame(cfg, self.vonet, event_bias)
         self._encode_only = make_encode_only(cfg, self.vonet)
-        self._final = make_final_updates(cfg, self.vonet)
+        self._final_cache: dict = {}
 
     def __call__(self, tstamp, events, image, mask, intrinsics):
         """events [T, H, W, C], image [1, H, W, 3] normalized, mask [T]
@@ -731,8 +734,15 @@ class RampVO:
         )
 
     def final_refinement(self, iters: int = 12):
-        del iters  # fixed at build time
-        self.state = self._final(self.params, self.state)
+        """N terminal update iterations (ref: evaluate.py:254-255). Each
+        distinct `iters` compiles once and is cached."""
+        if iters <= 0:
+            return
+        if iters not in self._final_cache:
+            self._final_cache[iters] = make_final_updates(
+                self.cfg, self.vonet, iters=iters
+            )
+        self.state = self._final_cache[iters](self.params, self.state)
 
     def point_cloud(self):
         """World-space patch-center point cloud + colors for export

@@ -1,5 +1,8 @@
-"""Decompose the MultiScale encoder's TPU cost: per-scale pixel-LSTMs,
-super-state folds, and the two BasicEncoder4 heads."""
+"""TPU timing breakdown of the MultiScale encoder at 480x640, T=1, bf16:
+full encode vs LSTM banks vs superstate folds vs the two CNN heads.
+
+Run alone: PYTHONPATH=.:/root/.axon_site python scripts/probe_encoder.py
+"""
 
 import time
 
@@ -7,18 +10,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rampvo_tpu.models.encoders import (
-    LSTMEncoder,
-    MultiScaleBasicEncoder4,
-    MultiScaleEncoder,
-)
+from rampvo_tpu.models import VONet
+from rampvo_tpu.models.encoders import MultiScaleEncoder
 
 H, W = 480, 640
 
 
-def timeit(fn, fetch, n_it=10):
-    out = fn()
-    fetch(out)
+def timeit(fn, fetch, n_it=20):
+    fn()
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
@@ -30,46 +29,83 @@ def timeit(fn, fetch, n_it=10):
 
 
 def main():
-    rng = np.random.RandomState(0)
-    events = jnp.asarray(rng.rand(5, H, W, 5), jnp.bfloat16)
-    images = jnp.asarray(rng.rand(1, H, W, 3), jnp.bfloat16)
-    mask = jnp.asarray([False, False, False, False, True])
-
+    vonet = VONet(input_mode="MultiScale")
+    params = vonet.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, H, W, 5)),
+        jnp.zeros((1, H, W, 3)),
+        jnp.asarray([True]),
+    )
     enc = MultiScaleEncoder()
-    state = MultiScaleEncoder.init_state(H, W)
-    params = enc.init(
-        jax.random.PRNGKey(0), events.astype(jnp.float32),
-        images.astype(jnp.float32), mask, None, 1,
+    ep = {"params": params["params"]["encoder"]}
+    ep16 = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, ep
     )
-    p16 = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
-        params,
-    )
-    s16 = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), state)
 
-    full = jax.jit(
-        lambda p, ev, im, mk, st: enc.apply(p, ev, im, mk, st, 1)
+    rng = np.random.RandomState(0)
+    ev = jnp.asarray(rng.rand(1, H, W, 5), jnp.bfloat16)
+    im = jnp.asarray(rng.rand(1, H, W, 3), jnp.bfloat16)
+    mask = jnp.asarray([True])
+    st = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16), MultiScaleEncoder.init_state(H, W)
     )
+
+    # full encode
+    full = jax.jit(lambda p, e, i, m, s: enc.apply(p, e, i, m, s, 1))
     t_full = timeit(
-        lambda: full(p16, events, images, mask, s16),
+        lambda: full(ep16, ev, im, mask, st),
         lambda o: float(jnp.sum(o[0].astype(jnp.float32))),
     )
-    print(f"encoder full  : {t_full:6.2f} ms")
 
-    # per-scale LSTM encoders alone
-    for si, scale in enumerate((1, 2, 4)):
-        sub = LSTMEncoder(5, scale, 16 * scale)
-        sp = {"params": params["params"][f"ev_encoders_{si}"]}
-        sp16 = jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32
-            else x, sp,
+    # LSTM banks only (all scales, both modalities)
+    from rampvo_tpu.models.encoders import LSTMEncoder
+
+    def lstms(p, e, i):
+        outs = []
+        for si, scale in enumerate((1, 2, 4)):
+            hid = 16 * scale
+            oev, _ = LSTMEncoder(5, scale, hid).apply(
+                {"params": p["params"][f"ev_encoders_{si}"]}, e
+            )
+            oim, _ = LSTMEncoder(3, scale, hid).apply(
+                {"params": p["params"][f"im_encoders_{si}"]}, i
+            )
+            outs.append((oev, oim))
+        return outs
+
+    lj = jax.jit(lstms)
+    t_lstm = timeit(
+        lambda: lj(ep16, ev, im),
+        lambda o: float(jnp.sum(o[0][0].astype(jnp.float32))),
+    )
+
+    # heads only (on dummy super-states of the right shapes)
+    from rampvo_tpu.models.encoders import MultiScaleBasicEncoder4
+
+    sss = [
+        jnp.asarray(rng.rand(1, *st["ss"][si].shape), jnp.bfloat16)
+        for si in range(3)
+    ]
+
+    def heads(p, s0, s1, s2):
+        f = MultiScaleBasicEncoder4(128, "instance", 16).apply(
+            {"params": p["params"]["fmap_encoder"]}, s0, s1, s2
         )
-        f = jax.jit(lambda p, ev: sub.apply(p, ev))
-        t = timeit(
-            lambda: f(sp16, events),
-            lambda o: float(jnp.sum(o[0].astype(jnp.float32))),
+        i = MultiScaleBasicEncoder4(384, "none", 16).apply(
+            {"params": p["params"]["imap_encoder"]}, s0, s1, s2
         )
-        print(f"ev lstm s{scale}    : {t:6.2f} ms")
+        return f, i
+
+    hj = jax.jit(heads)
+    t_heads = timeit(
+        lambda: hj(ep16, *sss),
+        lambda o: float(jnp.sum(o[0].astype(jnp.float32))),
+    )
+
+    print(f"encode full : {t_full:6.2f} ms")
+    print(f"  lstm banks: {t_lstm:6.2f} ms")
+    print(f"  heads x2  : {t_heads:6.2f} ms")
+    print(f"  rest      : {t_full - t_lstm - t_heads:6.2f} ms (folds/gather)")
 
 
 if __name__ == "__main__":

@@ -96,6 +96,89 @@ class TestMetrics:
         err = rot_error_per_axis(q, q)
         assert np.all(err < 1e-6)
 
+    # ---- evo-definition cross-checks (the headline ATE number rests on
+    # these semantics: Umeyama least-squares similarity alignment of the
+    # translation parts, then pointwise-distance RMSE — evaluate.py:294-304)
+
+    def test_alignment_is_least_squares_optimal(self):
+        """ate_rmse must equal the global minimum over ALL similarity
+        transforms — cross-checked against a brute-force numeric optimizer
+        (independent of the closed-form Umeyama implementation)."""
+        from scipy.optimize import minimize
+        from scipy.spatial.transform import Rotation as R
+
+        rng = np.random.RandomState(7)
+        x = np.cumsum(0.3 * rng.randn(20, 3), axis=0)  # noisy trajectory
+        Rm = R.from_euler("xyz", [0.4, -0.7, 1.1]).as_matrix()
+        y = (1.6 * (Rm @ x.T)).T + np.array([2.0, -1.0, 0.5])
+        y += 0.05 * rng.randn(*y.shape)  # alignment can't be exact
+
+        ours = ate_rmse(x, y, align=True, correct_scale=True)
+
+        def cost(p):
+            rot = R.from_rotvec(p[:3]).as_matrix()
+            s = np.exp(p[3])
+            t = p[4:]
+            e = (s * (rot @ x.T)).T + t - y
+            return np.sqrt((np.linalg.norm(e, axis=1) ** 2).mean())
+
+        best = np.inf
+        for seed in range(5):
+            r2 = np.random.RandomState(seed)
+            res = minimize(cost, np.r_[0.1 * r2.randn(3), 0.0, r2.randn(3)],
+                           method="Nelder-Mead",
+                           options={"maxiter": 20000, "xatol": 1e-10,
+                                    "fatol": 1e-12})
+            best = min(best, res.fun)
+        assert ours <= best + 1e-6, (ours, best)
+        assert abs(ours - best) < 1e-4, (ours, best)
+
+    def test_alignment_beats_any_sampled_transform(self):
+        from scipy.spatial.transform import Rotation as R
+
+        rng = np.random.RandomState(8)
+        x = np.cumsum(rng.randn(30, 3), axis=0)
+        y = x + 0.2 * rng.randn(30, 3)
+        ours = ate_rmse(x, y)
+        for i in range(50):
+            rot = R.from_rotvec(0.3 * rng.randn(3)).as_matrix()
+            s = np.exp(0.2 * rng.randn())
+            t = 0.5 * rng.randn(3)
+            xt = (s * (rot @ x.T)).T + t
+            rmse = np.sqrt((np.linalg.norm(xt - y, axis=1) ** 2).mean())
+            assert ours <= rmse + 1e-9
+
+    def test_no_reflection(self):
+        """evo's Umeyama constrains det(R) = +1; a mirrored trajectory must
+        NOT align to zero error via a reflection."""
+        rng = np.random.RandomState(9)
+        x = np.cumsum(rng.randn(25, 3), axis=0)
+        y = x * np.array([1.0, 1.0, -1.0])  # mirror in z
+        R2, t2, s2 = umeyama_alignment(x, y, with_scale=True)
+        assert np.linalg.det(R2) > 0.99
+        assert ate_rmse(x, y) > 0.05
+
+    def test_scale_correction_flag(self):
+        rng = np.random.RandomState(10)
+        x = np.cumsum(rng.randn(25, 3), axis=0)
+        y = 2.0 * x
+        assert ate_rmse(x, y, correct_scale=True) < 1e-8
+        assert ate_rmse(x, y, correct_scale=False) > 0.1
+
+    def test_known_umeyama_answer_hand_case(self):
+        """Hand-checkable fixture: planar square with one point lifted.
+        Optimal similarity for y = 2 * x must recover s=2 exactly even with
+        the configuration non-degenerate in all three axes."""
+        x = np.array([
+            [1.0, 0.0, 0.0], [-1.0, 0.0, 0.0],
+            [0.0, 1.0, 0.0], [0.0, -1.0, 0.25],
+        ])
+        y = 2.0 * x + np.array([0.0, 0.0, 3.0])
+        R2, t2, s2 = umeyama_alignment(x, y, with_scale=True)
+        np.testing.assert_allclose(R2, np.eye(3), atol=1e-10)
+        assert abs(s2 - 2.0) < 1e-10
+        np.testing.assert_allclose(t2, [0.0, 0.0, 3.0], atol=1e-10)
+
 
 class TestLoader:
     def test_normalize_image_default(self):

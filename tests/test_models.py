@@ -231,6 +231,65 @@ class TestUpdate:
             np.asarray(w_f)[vmask], np.asarray(w_l)[vmask], atol=1e-4
         )
 
+    def test_lattice_contig_matches_gather(self):
+        """With t-CONTIGUOUS row validity (the VO runtime's invariant), the
+        shift-based neighbour path (lattice_contig=True) must equal the
+        gather-based lattice path exactly."""
+        NI, T, M = 4, 7, 6
+        r = (T + 1) // 2
+        n = 9
+        E = NI * T * M
+        rng = np.random.RandomState(5)
+
+        i_row = np.arange(NI)[:, None]
+        tt = np.arange(T)[None, :]
+        i = n - 1 - np.mod(n - 1 - i_row, NI) + 0 * tt
+        j = i + tt - (r - 1)
+        # contiguous t-range per row: [lo, hi] random within bounds
+        cellv = (i >= 0) & (j >= 0) & (j <= n - 1)
+        for row in range(NI):
+            ts = np.nonzero(cellv[row])[0]
+            if len(ts) < 2:
+                continue
+            lo = rng.randint(0, len(ts))
+            hi = rng.randint(lo, len(ts))
+            keep = np.zeros(T, bool)
+            keep[ts[lo]:ts[hi] + 1] = True
+            cellv[row] &= keep
+        ii = np.broadcast_to(i[:, :, None], (NI, T, M))
+        jj = np.broadcast_to(j[:, :, None], (NI, T, M))
+        m_ = np.broadcast_to(np.arange(M)[None, None, :], (NI, T, M))
+        kk = ii * M + m_
+        valid = np.broadcast_to(cellv[:, :, None], (NI, T, M))
+        iif = jnp.asarray(np.where(valid, ii, 0).reshape(E), jnp.int32)
+        jjf = jnp.asarray(np.where(valid, jj, 0).reshape(E), jnp.int32)
+        kkf = jnp.asarray(np.where(valid, kk, 0).reshape(E), jnp.int32)
+        vf = jnp.asarray(valid.reshape(E))
+
+        net = jnp.asarray(rng.randn(E, 384), jnp.float32)
+        inp = jnp.asarray(rng.randn(E, 384), jnp.float32)
+        corr = jnp.asarray(rng.randn(E, 2 * 49 * 9), jnp.float32)
+
+        m = Update(3)
+        params = m.init(jax.random.PRNGKey(0), net, inp, corr, iif, jjf, kkf)
+        out_g, (d_g, w_g) = m.apply(
+            params, net, inp, corr, iif, jjf, kkf, vf, (NI, T, M)
+        )
+        out_s, (d_s, w_s) = m.apply(
+            params, net, inp, corr, iif, jjf, kkf, vf, (NI, T, M),
+            lattice_contig=True,
+        )
+        vmask = np.asarray(vf)
+        np.testing.assert_allclose(
+            np.asarray(out_g)[vmask], np.asarray(out_s)[vmask], atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(d_g)[vmask], np.asarray(d_s)[vmask], atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(w_g)[vmask], np.asarray(w_s)[vmask], atol=1e-6
+        )
+
 
 class TestSelectionAndExtraction:
     def test_event_bias_finds_spike(self):

@@ -236,3 +236,44 @@ class TestLatticeRuntimeCPU:
         poses, ts = vo.terminate()
         assert np.isfinite(poses).all()
         assert len(ts) == 9
+
+    def test_lattice_vs_exact_xla_trajectory_delta(self):
+        """Quantify the lattice kernel's SPREAD approximation END-TO-END:
+        the full network-driven VO loop run with the exact XLA correlation
+        vs the lattice Pallas kernel (interpret mode) must produce nearly
+        identical trajectories. The SPREAD window-zeroing
+        (ops/corr_pallas.py) only binds when a patch pixel reprojects > 4 px
+        (at 1/4 res) from its patch center — with per-patch constant inverse
+        depth that deviation is an affine-distortion (rotation/zoom) effect,
+        not a motion-magnitude effect, so the approximation is ~exact; the
+        residual delta here is bf16 band arithmetic."""
+
+        def run(impl, seed=5):
+            cfg = VOConfig(
+                BUFFER_SIZE=64, PATCHES_PER_FRAME=8, REMOVAL_WINDOW=5,
+                OPTIMIZATION_WINDOW=4, PATCH_LIFETIME=3, KEYFRAME_INDEX=2,
+                MIXED_PRECISION=False, PROBE_THRESH=-1.0, MAX_FRAMES=64,
+                MEM=16, CORR_IMPL=impl,
+            )
+            vo = RampVO(cfg, None, input_mode="MultiScale", ht=H, wd=W)
+            vo.params = vo.vonet.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, H, W, 5)),
+                jnp.zeros((1, H, W, 3)),
+                jnp.asarray([True]),
+            )
+            evs, ims = make_frames(9, seed=seed)
+            for t in range(9):
+                vo(t / 10.0, jnp.asarray(evs[t]), jnp.asarray(ims[t]),
+                   np.array([True]), np.array([40.0, 40.0, W / 2, H / 2]))
+            poses, _ = vo.terminate()
+            return poses
+
+        p_xla = run("xla")
+        p_lat = run("lattice_interpret")
+        assert np.isfinite(p_lat).all()
+        delta = np.linalg.norm(p_lat[:, :3] - p_xla[:, :3], axis=1).max()
+        extent = np.linalg.norm(p_xla[:, :3], axis=1).max()
+        print(f"lattice-vs-xla trajectory delta: {delta:.5f} "
+              f"(extent {extent:.4f})")
+        assert delta <= 0.05 * extent + 1e-3, (delta, extent)
