@@ -110,6 +110,61 @@ def linearize_center(poses, centers, intr_i, intr_j, ii, jj):
     return coords, X1[..., 2], Ji, Jj, Jz
 
 
+def linearize_center_cells(poses, centers, intrinsics, ii_c, jj_c, Mp):
+    """`linearize_center` for LATTICE-ordered edges with one shared camera.
+
+    All edges of a lattice cell share the frame pair, so the relative pose
+    and its adjoint are computed per CELL (E/Mp rows) and applied per edge
+    via a broadcast act4 + one batched [Mp*2, 6] x [6, 6] matmul — the
+    per-edge quaternion chains (se3_mul/se3_inv/se3_adjT over [E]) were a
+    large share of ba_infer's runtime (small-minor-dim elementwise chains).
+
+    poses [Np, 7]; centers [E, 3]; intrinsics [4]; ii_c/jj_c [NC] cell frame
+    indices. Returns coords [E,2], Z [E], Ji [E,2,6], Jj [E,2,6], Jz [E,2].
+    """
+    from ..lie.quaternion import quat_to_matrix
+
+    E = centers.shape[0]
+    NC = E // Mp
+    Gi = jnp.take(poses, ii_c, axis=0, mode="clip")
+    Gj = jnp.take(poses, jj_c, axis=0, mode="clip")
+    Gij = lops.se3_mul(Gj, lops.se3_inv(Gi))        # [NC, 7]
+
+    fx, fy, cx, cy = intrinsics
+    X0 = jnp.stack(
+        [
+            (centers[..., 0] - cx) / fx,
+            (centers[..., 1] - cy) / fy,
+            jnp.ones_like(centers[..., 2]),
+            centers[..., 2],
+        ],
+        axis=-1,
+    )
+    X1 = lops.se3_act4(Gij[:, None, :], X0.reshape(NC, Mp, 4)).reshape(E, 4)
+
+    tij = jnp.broadcast_to(Gij[:, None, :3], (NC, Mp, 3)).reshape(E, 3)
+    Jj, Jz, xy = _center_jacobians(X1, tij, fx, fy)
+    coords = xy + jnp.stack([cx, cy])[None]
+
+    # Ji = -AdjT(Gij) @ Jj-rows, with the 6x6 adjoint built once per cell:
+    # AdjT = [[R^T, 0], [-R^T [t]x, R^T]]  (see se3_adjT)
+    R = quat_to_matrix(Gij[..., 3:7])               # [NC, 3, 3]
+    Rt = jnp.swapaxes(R, -1, -2)
+    tx = lops.hat_so3(Gij[..., :3])                 # [NC, 3, 3]
+    Z3 = jnp.zeros_like(Rt)
+    adjT = jnp.concatenate(
+        [
+            jnp.concatenate([Rt, Z3], axis=-1),
+            jnp.concatenate([-(Rt @ tx), Rt], axis=-1),
+        ],
+        axis=-2,
+    )  # [NC, 6, 6]
+    Ji = -jnp.einsum(
+        "cab,cmb->cma", adjT, Jj.reshape(NC, Mp * 2, 6)
+    ).reshape(E, 2, 6)
+    return coords, X1[..., 2], Ji, Jj, Jz
+
+
 def _solve_schur(B, E, C, v, u, lmbda, ep, lm, structure_only, n_dyn):
     """Damped Schur-complement solve.
 
@@ -372,7 +427,9 @@ def ba_train(
 
 @partial(
     jax.jit,
-    static_argnames=("N", "M", "iterations", "structure_only", "lattice"),
+    static_argnames=(
+        "N", "M", "iterations", "structure_only", "lattice", "cell_linearize"
+    ),
 )
 def ba_infer(
     poses,  # [Np, 7] full pose buffer (SE3 data)
@@ -394,6 +451,7 @@ def ba_infer(
     structure_only: bool = False,
     lattice=None,   # (NI, T, Mp) static: edges are the full edge lattice
     win_rows=None,  # [M // Mp] lattice row holding each window frame (-1)
+    cell_linearize: bool = True,  # per-cell pose chains in linearization
 ):
     """Inference GN BA, ref: ramp/fastba/ba_cuda.cu:232-376,430-576.
 
@@ -404,10 +462,23 @@ def ba_infer(
     intr_e = jnp.broadcast_to(intrinsics, (ii.shape[0], 4))
     n_dyn = t1 - t0
 
+    cell_linearize = cell_linearize and lattice is not None
+    if cell_linearize:
+        Mp_l = lattice[2]
+        ii_c = ii.reshape(-1, Mp_l)[:, 0]
+        jj_c = jj.reshape(-1, Mp_l)[:, 0]
+
     def body(_, carry):
         poses7, pwin = carry
         centers = pwin[kk, :, P // 2, P // 2]
-        coords, Z, Ji, Jj, Jz = linearize_center(poses7, centers, intr_e, intr_e, ii, jj)
+        if cell_linearize:
+            coords, Z, Ji, Jj, Jz = linearize_center_cells(
+                poses7, centers, intrinsics, ii_c, jj_c, Mp_l
+            )
+        else:
+            coords, Z, Ji, Jj, Jz = linearize_center(
+                poses7, centers, intr_e, intr_e, ii, jj
+            )
         r = targets - coords
 
         # robust gates (ba_cuda.cu:296-308)

@@ -215,10 +215,45 @@ def main():
     parser.add_argument("--trials", type=int, default=1)
     parser.add_argument("--downsample_fact", type=int, default=1)
     parser.add_argument("--results_path", type=str, default=None)
+    # fleet scale-out (parallel/eval_fleet.py): --fleet N spawns N worker
+    # processes, each evaluating a round-robin scene shard (--shard i:N)
+    parser.add_argument("--fleet", type=int, default=0,
+                        help="spawn N scene-shard workers and merge results")
+    parser.add_argument("--shard", type=str, default=None,
+                        help="evaluate only shard i of n (format i:n)")
+    parser.add_argument("--backend", type=str, default=None,
+                        help="force a JAX backend (e.g. cpu) before init")
     args = parser.parse_args()
+
+    if args.backend:
+        import jax
+
+        jax.config.update("jax_platforms", args.backend)
+
+    if args.fleet:
+        from ..parallel.eval_fleet import run_fleet
+
+        argv = [
+            "--weights", args.weights, "--config_VO", args.config_VO,
+            "--config_eval", args.config_eval, "--trials", str(args.trials),
+            "--downsample_fact", str(args.downsample_fact),
+        ]
+        if args.backend:
+            argv += ["--backend", args.backend]
+        results = run_fleet(args.fleet, argv, args.results_path)
+        for k in results:
+            print(k, results[k])
+        return
 
     config_VO = VOConfig.from_yaml(args.config_VO)
     eval_cfg = json.load(open(args.config_eval))
+    if args.shard:
+        from ..parallel.eval_fleet import parse_shard
+
+        test_ = eval_cfg["data_loader"]["test"]
+        test_["test_split"] = parse_shard(args.shard, test_["test_split"])
+        if not test_["test_split"]:
+            return  # empty shard: no scenes, no results file
 
     print("Running evaluation...")
     results = evaluate(

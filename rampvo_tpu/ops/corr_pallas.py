@@ -647,6 +647,103 @@ def _kernel_lat_paired(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref,
         jax.lax.fori_loop(0, M // GANG, edge_gang, 0)
 
 
+def _kernel_lat_compact(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref, out_ref,
+                        scratch1, scratch2, tile_scratch, dmt_scratch,
+                        roll_scr0, roll_scr1, last_slot, sem1, sem2,
+                        *, C, PP, D, M, NI):
+    """_kernel_lat with IN-KERNEL WINDOW COMPACTION only (no blend): after
+    the per-window alignment roll (unchanged), one constant 0/1 matmul
+    [G*PP, D*TX] x [D*TX, 64] per level packs each 8x8 window into 64
+    contiguous lanes and the two pyramid levels pair into 128-lane rows:
+    out[e, q, l*64 + y*8 + x] = dot-map window value. No extra input blocks
+    and no extra rolls versus _kernel_lat (the blended variant lost to both,
+    see STATUS round-3 dead ends); the output shrinks 3x (D*TX=192 -> 64
+    lanes/window) and the XLA finish becomes lane-shift blends on a
+    128-lane-aligned layout instead of the [E, PP, D, TX] band pass."""
+    b = pl.program_id(0)
+    valid = tabs[b, 4] < NI
+    slot = tabs[b, 2]
+
+    @pl.when(b == 0)
+    def _init():
+        last_slot[0] = -1
+
+    @pl.when(valid & (slot != last_slot[0]))
+    def _load():
+        cp1 = pltpu.make_async_copy(fmap1_hbm.at[slot], scratch1, sem1)
+        cp2 = pltpu.make_async_copy(fmap2_hbm.at[slot], scratch2, sem2)
+        cp1.start()
+        cp2.start()
+        cp1.wait()
+        cp2.wait()
+        last_slot[0] = slot
+
+    @pl.when(valid)
+    def _compute():
+        # constant compaction matrix: lane r*TX+c -> lane r*8+c (r, c < 8)
+        rowid = jax.lax.broadcasted_iota(jnp.int32, (D * TX, 64), 0)
+        outid = jax.lax.broadcasted_iota(jnp.int32, (D * TX, 64), 1)
+        S = (
+            (rowid // TX == outid // 8) & (rowid % TX == outid % 8)
+        ).astype(jnp.bfloat16)
+
+        def edge_gang(i, carry):
+            for u in range(GANG):
+                e = i * GANG + u
+                for lvl, scratch in ((0, scratch1), (1, scratch2)):
+                    tile = scratch[
+                        pl.ds(scal_ref[0, 0, e, 2 * lvl], TY),
+                        pl.ds(
+                            pl.multiple_of(scal_ref[0, 0, e, 2 * lvl + 1], 8),
+                            TX,
+                        ),
+                        :,
+                    ]
+                    row = (u * 2 + lvl) * TY * TX
+                    tile_scratch[pl.ds(row, TY * TX), :] = tile.reshape(
+                        TY * TX, C
+                    )
+
+            g_gang = g_ref[0, pl.ds(i * GANG * PP, GANG * PP), :]
+            dmt = jax.lax.dot_general(
+                g_gang, tile_scratch[...],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [GANG*PP, GANG*2*TY*TX]
+            dmt_scratch[...] = dmt
+
+            for u in range(GANG):
+                e = i * GANG + u
+                for lvl, rs in ((0, roll_scr0), (1, roll_scr1)):
+                    base = (u * 2 + lvl) * TY * TX
+                    for q in range(PP):
+                        row = dmt_scratch[
+                            pl.ds(u * PP + q, 1), pl.ds(base, TY * TX)
+                        ]
+                        off = scal_ref[0, 0, e, 4 + lvl * PP + q]
+                        win = pltpu.roll(row, -off, 1)
+                        rs[pl.ds(u * PP + q, 1), :] = win[
+                            :, : D * TX
+                        ].astype(rs.dtype)
+
+            def compact(rs):
+                return jax.lax.dot_general(
+                    rs[...], S,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [GANG*PP, 64]
+
+            pair = jnp.concatenate(
+                [compact(roll_scr0), compact(roll_scr1)], axis=1
+            )  # [GANG*PP, 128]
+            out_ref[0, 0, pl.ds(i * GANG, GANG)] = pair.astype(
+                out_ref.dtype
+            ).reshape(GANG, PP, 128)
+            return carry
+
+        jax.lax.fori_loop(0, M // GANG, edge_gang, 0)
+
+
 RING_PAD = 24  # = 3*D for D=8 (radius-3 windows)
 
 
@@ -1087,6 +1184,160 @@ def corr_lattice_paired(
     vmask = _cell_vmask(NI, T, M, r, n, cell_valid)
     out = out[:NI].reshape(E, PP * 128)
     return jnp.where(vmask[:, None], out, jnp.bfloat16(0.0))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("r", "radius", "interpret", "prepadded", "hw")
+)
+def corr_lattice_compact(
+    gmap_r: jnp.ndarray,    # [MEM, M, P, P, C] gmap ring
+    fmap1: jnp.ndarray,     # [MEM, H, W, C]   level-1 ring (pre-padded ok)
+    fmap2: jnp.ndarray,     # [MEM, H//4, W//4, C] level-2 ring
+    coords: jnp.ndarray,    # [NI, T, M, P, P, 2] lattice-ordered coords
+    cell_valid: jnp.ndarray,  # [NI, T] bool
+    n,                      # traced int32: live keyframe count
+    slotmap: jnp.ndarray,   # [L] int32 logical frame -> ring slot
+    r: int,                 # PATCH_LIFETIME (static)
+    radius: int = 3,
+    interpret: bool = False,
+    prepadded: bool = False,
+    hw=None,                # (H1, W1, H2, W2) when prepadded
+) -> jnp.ndarray:
+    """Lattice correlation with in-kernel window COMPACTION
+    (_kernel_lat_compact) and the bilinear blend done outside as lane
+    shifts on the 128-lane paired layout. Returns the update net's corr
+    input [NI*T*M, PP*128] bf16 in the PAIRED layout (paired_corr_perm):
+    out[e, q*128 + l*64 + y*8 + x] = blend_l[e, q, y, x] for y, x < 2R+1,
+    garbage (zeroed) elsewhere."""
+    NI, T, M, P, _, _ = coords.shape
+    if prepadded:
+        MEM, C = fmap1.shape[0], fmap1.shape[3]
+        H1, W1, H2, W2 = hw
+    else:
+        MEM, H1, W1, C = fmap1.shape
+        _, H2, W2, _ = fmap2.shape
+    L = slotmap.shape[0]
+    R = radius
+    D = 2 * R + 2
+    PP = P * P
+    pad = 3 * D
+    E = NI * T * M
+    assert M % GANG == 0, "lattice kernel needs M % 8 == 0"
+    assert D == 8, "compact kernel packs 8x8 windows into 64 lanes"
+
+    tabs, NB = _cell_tables(NI, T, M, r, n, cell_valid, slotmap, MEM, L)
+
+    cflat = coords.reshape(E, P, P, 2)
+    prep1 = _level_prep(cflat, H1, W1, P, R, D, pad)
+    prep2 = _level_prep(cflat / 4.0, H2, W2, P, R, D, pad)
+
+    def level_cols(prep):
+        _, _, _, _, ty, tx, oy, ox, _ = prep
+        return ty, tx, (oy * TX + ox).reshape(E, PP)
+
+    ty1, tx1, off1 = level_cols(prep1)
+    ty2, tx2, off2 = level_cols(prep2)
+    scal = jnp.concatenate(
+        [ty1[:, None], tx1[:, None], ty2[:, None], tx2[:, None],
+         off1, off2], axis=1,
+    ).astype(jnp.int32).reshape(NI, T, M, 4 + 2 * PP)
+
+    if prepadded:
+        fpad1, fpad2 = fmap1, fmap2
+    else:
+        fpad1 = _pad_ring(fmap1, pad)
+        fpad2 = _pad_ring(fmap2, pad)
+    Hp1, Wp1 = fpad1.shape[1], fpad1.shape[2]
+    Hp2, Wp2 = fpad2.shape[1], fpad2.shape[2]
+
+    gflat = gmap_r.reshape(MEM, M * PP, C)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_lat_compact, C=C, PP=PP, D=D, M=M, NI=NI),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(NB,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(
+                    (1, M * PP, C), lambda b, tb: (tb[b, 3], 0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, M, 4 + 2 * PP),
+                    lambda b, tb: (tb[b, 0], tb[b, 1], 0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, M, PP, 128),
+                lambda b, tb: (tb[b, 4], tb[b, 1], 0, 0, 0),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((Hp1, Wp1, C), fmap1.dtype),
+                pltpu.VMEM((Hp2, Wp2, C), fmap2.dtype),
+                pltpu.VMEM((GANG * 2 * TY * TX, C), fmap1.dtype),
+                pltpu.VMEM((GANG * PP, GANG * 2 * TY * TX), jnp.float32),
+                pltpu.VMEM((GANG * PP, D * TX), jnp.bfloat16),
+                pltpu.VMEM((GANG * PP, D * TX), jnp.bfloat16),
+                pltpu.SMEM((1,), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (NI + 1, T, M, PP, 128), jnp.bfloat16
+        ),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(tabs, fpad1, fpad2, gflat, scal)
+
+    vmask = _cell_vmask(NI, T, M, r, n, cell_valid)
+
+    # ---- blend as lane shifts on the compacted 8x8 layout ----
+    # uninitialized rows (cells the grid never wrote) must die via `where`
+    # BEFORE arithmetic: 0 * garbage can be NaN
+    A = jnp.where(
+        vmask[:, None, None, None],
+        out[:NI].reshape(E, PP, 2, 64).astype(jnp.float32),
+        0.0,
+    )
+
+    def shifted(dy, dx):
+        s = dy * 8 + dx
+        if s == 0:
+            return A
+        return jnp.pad(A[..., s:], ((0, 0),) * 3 + ((0, s),))
+
+    def wts(prep):
+        x, y, x0, y0, _, _, _, _, ok = prep
+        fx = (x - x0.astype(jnp.float32)).reshape(E, PP)
+        fy = (y - y0.astype(jnp.float32)).reshape(E, PP)
+        okf = (
+            ok.reshape(E, PP) & vmask[:, None]
+        ).astype(jnp.float32)
+        return fx, fy, okf
+
+    fx1, fy1, ok1 = wts(prep1)
+    fx2, fy2, ok2 = wts(prep2)
+    fx = jnp.stack([fx1, fx2], axis=-1)[..., None]   # [E, PP, 2, 1]
+    fy = jnp.stack([fy1, fy2], axis=-1)[..., None]
+    okf = jnp.stack([ok1, ok2], axis=-1)[..., None]
+
+    blend = okf * (
+        (1 - fy) * (1 - fx) * A
+        + (1 - fy) * fx * shifted(0, 1)
+        + fy * (1 - fx) * shifted(1, 0)
+        + fy * fx * shifted(1, 1)
+    )
+    # zero the garbage row/col (y == 7 or x == 7) so downstream consumers
+    # see clean data even without the fc1 zero-row fold
+    lane = jnp.arange(64)
+    good = ((lane // 8) < 2 * R + 1) & ((lane % 8) < 2 * R + 1)
+    blend = jnp.where(good, blend, 0.0)
+    return blend.reshape(E, PP * 128).astype(jnp.bfloat16)
 
 
 @functools.lru_cache(maxsize=4)

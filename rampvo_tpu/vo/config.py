@@ -35,6 +35,18 @@ class VOConfig:
     # Pallas interpret mode (CPU-runnable — test coverage of the TPU path)
     CORR_IMPL: str = "auto"
 
+    # lattice-path implementation toggles (A/B-able; defaults = fastest
+    # measured). CORR_LAYOUT: "paired" = in-kernel 8x8 window compaction +
+    # lane-shift blend (corr_lattice_compact), "folded" = stacked band
+    # kernel + XLA band finish (corr_lattice2_stacked(folded=True)).
+    # False: the fused single-step encoder (models/encoders_fused.py)
+    # measured +3.0 ms SLOWER than the straight flax path in-frame
+    # (scripts/ab_frame_variants.py — grouped convs + gate matmul lose)
+    FUSED_ENCODER: bool = False
+    CORR_LAYOUT: str = "paired"
+    CELL_REPROJECT: bool = True  # per-cell relative poses in reprojection
+    CELL_LINEARIZE: bool = True  # per-cell linearization inside ba_infer
+
     # TPU-native capacities (not in the reference; sized from its dynamics)
     MAX_FRAMES: int = 4096       # global frame-id capacity (>= total frames)
     # feature ring depth. The reference's mem=32 ring (Ramp_vo.py:72)

@@ -40,8 +40,10 @@ from ..ops.corr_pallas import (
     GANG,
     RING_PAD,
     corr_lattice2_stacked,
+    corr_lattice_compact,
     corr_pallas2,
     folded_corr_perm,
+    paired_corr_perm,
 )
 from .config import VOConfig
 from .state import VOState, edge_table, host_of_row, init_state
@@ -156,17 +158,64 @@ def _reproject_edges(cfg: VOConfig, state: VOState, ii, jj, kk):
                            state.intrinsics)
 
 
-def _fold_corr_fc1(params):
-    """Permute corr_fc1's kernel rows so it consumes the FOLDED corr layout
-    (corr_lattice2_stacked(folded=True)) — the window transpose and level
-    interleave become a 1.3MB weight gather instead of an [E, 882]-wide
-    relayout every update."""
-    inv = jnp.asarray(folded_corr_perm(3, 3))
+def _reproject_edges_lattice(cfg: VOConfig, state: VOState, ii, jj, kk):
+    """_reproject_edges for the full lattice edge set: all edges of a cell
+    share the frame pair, so the relative pose (se3_mul + se3_inv quaternion
+    chains) is computed per CELL (NI*T rows) instead of per edge (NI*T*M) —
+    only the act4 + projection stay per-edge."""
+    M, NI, T = cfg.M, cfg.NI, cfg.T
+    L = state.l2g.shape[0]
+    F = state.poses.shape[0]
+    NC = NI * T
+
+    ii_c = ii.reshape(NC, M)[:, 0]
+    jj_c = jj.reshape(NC, M)[:, 0]
+    pi = state.poses[jnp.clip(state.l2g[jnp.clip(ii_c, 0, L - 1)], 0, F - 1)]
+    pj = state.poses[jnp.clip(state.l2g[jnp.clip(jj_c, 0, L - 1)], 0, F - 1)]
+    Gij = lops.se3_mul(pj, lops.se3_inv(pi))        # [NC, 7]
+
+    rows = jnp.clip(_patch_rows(state, kk, M), 0, F * M - 1)
+    patches = state.patches[rows]                   # [E, 3, P, P]
+    fx, fy, cx, cy = state.intrinsics
+    x = patches[:, 0]
+    y = patches[:, 1]
+    d = patches[:, 2]
+    X0 = jnp.stack(
+        [(x - cx) / fx, (y - cy) / fy, jnp.ones_like(d), d], axis=-1
+    )  # [E, P, P, 4]
+    P = X0.shape[1]
+    X1 = lops.se3_act4(
+        Gij[:, None, None, None, :], X0.reshape(NC, M, P, P, 4)
+    ).reshape(X0.shape)
+    Z = jnp.maximum(X1[..., 2], 0.1)
+    u = fx * (X1[..., 0] / Z) + cx
+    v = fy * (X1[..., 1] / Z) + cy
+    return jnp.stack([u, v], axis=-1)
+
+
+def _fold_corr_fc1(params, layout: str = "folded"):
+    """Permute corr_fc1's kernel rows so it consumes the kernel-native corr
+    layout — the window transpose / level interleave / window padding become
+    a small weight gather instead of an [E, 882+]-wide relayout every
+    update.
+
+    layout "folded": corr_lattice2_stacked(folded=True) columns
+    (ops.corr_pallas.folded_corr_perm). layout "paired": the 128-lane
+    paired layout of corr_lattice_compact/_paired (paired_corr_perm;
+    garbage lanes get zero weight rows)."""
     p = dict(params)
     pp = dict(p["params"])
     up = dict(pp["update"])
     fc = dict(up["corr_fc1"])
-    fc["kernel"] = fc["kernel"][inv]
+    if layout == "paired":
+        idx = jnp.asarray(paired_corr_perm(3, 3))
+        W = fc["kernel"]
+        fc["kernel"] = jnp.where(
+            (idx >= 0)[:, None], W[jnp.clip(idx, 0, W.shape[0] - 1)], 0.0
+        )
+    else:
+        inv = jnp.asarray(folded_corr_perm(3, 3))
+        fc["kernel"] = fc["kernel"][inv]
     up["corr_fc1"] = fc
     pp["update"] = up
     p["params"] = pp
@@ -193,17 +242,34 @@ def _edge_corr_ctx_lattice(cfg: VOConfig, state: VOState, ii, jj, kk):
     P = state.gmap_r.shape[-3]
     L = state.l2g.shape[0]
 
-    coords = _reproject_edges(cfg, state, ii, jj, kk)
+    if cfg.CELL_REPROJECT:
+        coords = _reproject_edges_lattice(cfg, state, ii, jj, kk)
+    else:
+        coords = _reproject_edges(cfg, state, ii, jj, kk)
     h4, w4 = state.hw4
-    # folded layout: the window transpose + level interleave are folded
-    # into corr_fc1's kernel by update_fn (ops/corr_pallas.folded_corr_perm)
-    corr_in = corr_lattice2_stacked(
-        state.gmap_r, state.fmap1_r, state.fmap2_r,
-        coords.reshape(NI, T, M, P, P, 2), state.cell_valid,
-        state.n, state.slotmap, cfg.PATCH_LIFETIME, 3,
-        interpret=cfg.CORR_IMPL == "lattice_interpret",
-        prepadded=True, hw=(h4, w4, h4 // 4, w4 // 4), folded=True,
-    )
+    if cfg.CORR_LAYOUT == "paired":
+        # paired 128-lane layout: the kernel emits 8x8-compacted windows
+        # (one constant 0/1 MXU matmul in-kernel, 3x less output than the
+        # stacked band) and the bilinear blend runs as lane shifts outside;
+        # window permute + level interleave fold into corr_fc1's kernel by
+        # update_fn (ops/corr_pallas.paired_corr_perm)
+        corr_in = corr_lattice_compact(
+            state.gmap_r, state.fmap1_r, state.fmap2_r,
+            coords.reshape(NI, T, M, P, P, 2), state.cell_valid,
+            state.n, state.slotmap, cfg.PATCH_LIFETIME, 3,
+            interpret=cfg.CORR_IMPL == "lattice_interpret",
+            prepadded=True, hw=(h4, w4, h4 // 4, w4 // 4),
+        )
+    else:
+        # folded layout: the window transpose + level interleave fold into
+        # corr_fc1's kernel (ops/corr_pallas.folded_corr_perm)
+        corr_in = corr_lattice2_stacked(
+            state.gmap_r, state.fmap1_r, state.fmap2_r,
+            coords.reshape(NI, T, M, P, P, 2), state.cell_valid,
+            state.n, state.slotmap, cfg.PATCH_LIFETIME, 3,
+            interpret=cfg.CORR_IMPL == "lattice_interpret",
+            prepadded=True, hw=(h4, w4, h4 // 4, w4 // 4), folded=True,
+        )
 
     slot_k = state.slotmap[jnp.clip(kk // M, 0, L - 1)]
     gidx = jnp.clip(slot_k, 0, MEM - 1) * M + kk % M
@@ -387,6 +453,7 @@ def _update(cfg: VOConfig, update_fn, params, state: VOState,
         t0 - base, n - base,
         N=cfg.OPTIMIZATION_WINDOW, M=PW * M, iterations=2, valid=valid,
         lattice=ba_lat, win_rows=win_rows,
+        cell_linearize=cfg.CELL_LINEARIZE,
     )
 
     poses = state.poses.at[jnp.where(win_ok, win_g, F)].set(posew2, mode="drop")
@@ -528,9 +595,24 @@ def make_vo_frame(cfg: VOConfig, vonet: VONet, event_bias: bool = True,
             enc_state = jax.tree_util.tree_map(
                 lambda x: x.astype(jnp.bfloat16), enc_state
             )
-        fmap, imap, enc2 = vonet.apply(
-            params, events, images, mask, enc_state, 1, method=VONet.encode
-        )
+        if (cfg.FUSED_ENCODER and vonet.input_mode == "MultiScale"
+                and events.shape[0] == 1):
+            # fused single-step path (models/encoders_fused.py): exact
+            # same math, one gate matmul + one fold matmul per scale and
+            # grouped-conv heads; Patchifier's /4 applied here
+            from ..models.encoders_fused import fused_multiscale_encode
+
+            fmap, imap, enc2 = fused_multiscale_encode(
+                params["params"]["patchify"]["encoder"],
+                events, images, mask, enc_state,
+            )
+            fmap = fmap / 4.0
+            imap = imap / 4.0
+        else:
+            fmap, imap, enc2 = vonet.apply(
+                params, events, images, mask, enc_state, 1,
+                method=VONet.encode
+            )
         if cfg.MIXED_PRECISION:
             enc2 = jax.tree_util.tree_map(
                 lambda x: x.astype(jnp.float32), enc2
@@ -539,7 +621,8 @@ def make_vo_frame(cfg: VOConfig, vonet: VONet, event_bias: bool = True,
 
     def update_fn(params, net, ctx, corr_in, ii, jj, kk, valid, lattice=None):
         if lattice is not None:
-            params = _fold_corr_fc1(params)  # corr_in is in folded layout
+            # corr_in is in the kernel-native layout (cfg.CORR_LAYOUT)
+            params = _fold_corr_fc1(params, layout=cfg.CORR_LAYOUT)
         if cfg.MIXED_PRECISION:
             # inference update runs in half precision like the reference's
             # fp16 autocast (Ramp_vo.py:23,280-284); outputs restored to f32
@@ -644,9 +727,19 @@ def make_encode_only(cfg: VOConfig, vonet: VONet):
     def encode_only(params, state: VOState, events, images, mask):
         events = events.astype(jnp.float32)
         images = images.astype(jnp.float32)
-        _, _, enc2 = vonet.apply(
-            params, events, images, mask, state.enc, 1, method=VONet.encode
-        )
+        if (cfg.FUSED_ENCODER and vonet.input_mode == "MultiScale"
+                and events.shape[0] == 1):
+            from ..models.encoders_fused import fused_multiscale_encode
+
+            _, _, enc2 = fused_multiscale_encode(
+                params["params"]["patchify"]["encoder"],
+                events, images, mask, state.enc,
+            )
+        else:
+            _, _, enc2 = vonet.apply(
+                params, events, images, mask, state.enc, 1,
+                method=VONet.encode
+            )
         return state.replace(enc=enc2)
 
     return jax.jit(encode_only, donate_argnums=(1,))
@@ -658,7 +751,7 @@ def make_final_updates(cfg: VOConfig, vonet: VONet, iters: int = 12,
 
     def update_fn(params, net, ctx, corr_in, ii, jj, kk, valid, lattice=None):
         if lattice is not None:
-            params = _fold_corr_fc1(params)  # corr_in is in folded layout
+            params = _fold_corr_fc1(params, layout=cfg.CORR_LAYOUT)
         return vonet.apply(
             params, net, ctx, corr_in, ii, jj, kk, valid, lattice,
             lattice_contig=True,

@@ -12,6 +12,7 @@ import numpy as np
 
 from rampvo_tpu.ops.corr_pallas import (
     corr_lattice2_stacked,
+    corr_lattice_compact,
     corr_lattice_paired,
 )
 
@@ -44,6 +45,11 @@ def main():
     slotmap = jnp.asarray(slotmap)
     nn_ = jnp.int32(n)
 
+    def run_compact():
+        return corr_lattice_compact(
+            gmap_r, fmap1, fmap2, coords, cell_valid, nn_, slotmap, r, 3
+        )
+
     def run_paired():
         return corr_lattice_paired(
             gmap_r, fmap1, fmap2, coords, cell_valid, nn_, slotmap, r, 3
@@ -56,10 +62,10 @@ def main():
         )
 
     t0 = time.perf_counter()
-    out_p = run_paired()
-    float(jnp.sum(out_p.astype(jnp.float32)[:64]))
-    print(f"paired compile+run: {time.perf_counter() - t0:.1f}s "
-          f"out={out_p.shape}")
+    out_c = run_compact()
+    float(jnp.sum(out_c.astype(jnp.float32)[:64]))
+    print(f"compact compile+run: {time.perf_counter() - t0:.1f}s "
+          f"out={out_c.shape}")
     t0 = time.perf_counter()
     out_s = run_stacked()
     float(jnp.sum(out_s.astype(jnp.float32)[:64]))
@@ -77,9 +83,9 @@ def main():
             best = min(best, (time.perf_counter() - t0) / n_it)
         return best
 
-    tp = timeit(run_paired)
+    tc = timeit(run_compact)
     ts = timeit(run_stacked)
-    print(f"paired:  {tp*1e3:6.1f} ms/call")
+    print(f"compact: {tc*1e3:6.1f} ms/call")
     print(f"stacked: {ts*1e3:6.1f} ms/call")
 
 

@@ -19,6 +19,7 @@ import numpy as np
 from rampvo_tpu.ops.corr import corr_stack
 from rampvo_tpu.ops.corr_pallas import (
     corr_lattice2,
+    corr_lattice_compact,
     corr_lattice_paired,
     paired_corr_perm,
 )
@@ -72,10 +73,25 @@ def main():
 
     scale = np.abs(ref).max()
     d = np.abs(ref - rec).max()
-    print(f"parity: {d/scale:.2e} rel (scale {scale:.2f})")
-    # garbage lanes must be exactly untouched-by-perm; check finiteness too
+    print(f"paired parity: {d/scale:.2e} rel (scale {scale:.2f})")
     assert np.isfinite(paired).all(), "non-finite paired output"
     assert d / scale < 2e-2, d / scale
+
+    compact = np.asarray(
+        corr_lattice_compact(
+            gmap_r, fmap1, fmap2, coords, cell_valid, jnp.int32(n), slotmap,
+            r, 3, interpret=True,
+        ),
+        np.float32,
+    )
+    rec2 = np.zeros((E, ref.shape[1]), np.float32)
+    for c, rc in enumerate(idx):
+        if rc >= 0:
+            rec2[:, rc] = compact[:, c]
+    d2 = np.abs(ref - rec2).max()
+    print(f"compact parity: {d2/scale:.2e} rel")
+    assert np.isfinite(compact).all(), "non-finite compact output"
+    assert d2 / scale < 2e-2, d2 / scale
     print("OK")
 
 

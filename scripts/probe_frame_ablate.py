@@ -46,6 +46,9 @@ def main():
     cfg = VOConfig(
         BUFFER_SIZE=512, MAX_FRAMES=512, MIXED_PRECISION=True,
         PROBE_THRESH=-1.0,
+        KEYFRAME_THRESH=0.0,  # never evict: measure FULL steady-state
+        # windows (random-net motionmag would otherwise pin n ~ 8 and leave
+        # the lattice ~4x empty — see bench.py)
     )
     vonet = VONet(input_mode="MultiScale")
     params = vonet.init(
@@ -64,10 +67,12 @@ def main():
     im = jnp.asarray(rng.rand(1, H, W, 3), jnp.float32)
 
     state = state0
-    for _ in range(30):
+    for _ in range(40):
         state = vo_frame(params, state, ev, im, mask, intr)
     float(jnp.sum(state.poses[:8]))
     print(f"warmed: n={int(state.n)} counter={int(state.counter)}")
+
+    from rampvo_tpu.models.encoders_fused import fused_multiscale_encode
 
     def encode_fn(params, events, images, m, enc_state):
         p16 = jax.tree_util.tree_map(
@@ -77,17 +82,20 @@ def main():
         e16 = jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16), enc_state
         )
-        fmap, imap, enc2 = vonet.apply(
-            p16, events.astype(jnp.bfloat16), images.astype(jnp.bfloat16),
-            m, e16, 1, method=VONet.encode,
+        fmap, imap, enc2 = fused_multiscale_encode(
+            p16["params"]["patchify"]["encoder"],
+            events.astype(jnp.bfloat16), images.astype(jnp.bfloat16),
+            m, e16,
         )
+        fmap = fmap / 4.0
+        imap = imap / 4.0
         return fmap, imap, jax.tree_util.tree_map(
             lambda x: x.astype(jnp.float32), enc2
         )
 
     def update_fn(p, net, ctx, corr_in, ii, jj, kk, valid, lattice=None):
         if lattice is not None:
-            p = _fold_corr_fc1(p)
+            p = _fold_corr_fc1(p, layout="paired")
         p16 = jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
             p,

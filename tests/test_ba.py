@@ -299,3 +299,24 @@ class TestLatticeAssembly:
             b = np.asarray(b, np.float32)
             scale = max(np.abs(a).max(), 1.0)
             assert np.abs(a - b).max() / scale < 1e-5, name
+
+        # cell-wise linearization (per-cell relative pose + 6x6 adjoint
+        # matmul) must match the per-edge path to f32 rounding
+        from rampvo_tpu.ba.core import linearize_center_cells
+
+        ii_c = iif.reshape(-1, Mp)[:, 0]
+        jj_c = jjf.reshape(-1, Mp)[:, 0]
+        coords2, Z2, Ji2, Jj2, Jz2 = linearize_center_cells(
+            poses7, centers, intr, ii_c, jj_c, Mp
+        )
+        for name, a, b in zip(
+            ["coords", "Z", "Ji", "Jj", "Jz"],
+            (coords, Z, Ji, Jj, Jz),
+            (coords2, Z2, Ji2, Jj2, Jz2),
+        ):
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            scale = max(np.abs(a).max(), 1.0)
+            assert np.abs(a - b).max() / scale < 1e-5, (
+                name, np.abs(a - b).max()
+            )
