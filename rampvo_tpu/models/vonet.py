@@ -242,3 +242,36 @@ class CorrBlock:
             for i, lvl in enumerate(self.levels)
         ]
         return self._stack(*vols)
+
+
+def fold_corr_fc1(params, layout: str = "folded"):
+    """Permute the update net's corr_fc1 kernel rows so it consumes a
+    kernel-native corr layout — the window transpose / level interleave /
+    window padding become a tiny weight gather instead of an [E, 882+]-wide
+    activation relayout every update.
+
+    layout "folded": corr_lattice2_stacked(folded=True) columns
+    (ops.corr_pallas.folded_corr_perm). layout "paired": the 128-lane
+    paired layout of corr_lattice_fused/_compact (paired_corr_perm;
+    garbage lanes get zero weight rows). The fold is linear, so autodiff
+    through it routes gradients back to the canonical checkpoint layout —
+    the training path folds once per step outside the scan."""
+    from ..ops.corr_pallas import folded_corr_perm, paired_corr_perm
+
+    p = dict(params)
+    pp = dict(p["params"])
+    up = dict(pp["update"])
+    fc = dict(up["corr_fc1"])
+    if layout == "paired":
+        idx = jnp.asarray(paired_corr_perm(3, 3))
+        W = fc["kernel"]
+        fc["kernel"] = jnp.where(
+            (idx >= 0)[:, None], W[jnp.clip(idx, 0, W.shape[0] - 1)], 0.0
+        )
+    else:
+        inv = jnp.asarray(folded_corr_perm(3, 3))
+        fc["kernel"] = fc["kernel"][inv]
+    up["corr_fc1"] = fc
+    pp["update"] = up
+    p["params"] = pp
+    return p

@@ -339,8 +339,12 @@ def _corr_train_fwd(gmap, fmap, coords, ii, jj, radius):
                                                       ii, jj)
 
 
-def _corr_train_bwd(radius, res, grad_out):
-    gmap, fmap, coords, ii, jj = res
+def corr_bwd_from_gv(gv, gmap, fmap, coords, ii, jj, radius):
+    """Shared tail of the correlation backward: given the RAW-TAP gradient
+    `gv` [E, P, P, D, D] (already unblended), regather the taps and produce
+    (grad_gmap, grad_fmap). Used by both `corr_train`'s VJP (reference
+    window layout) and the Pallas paired-layout VJP
+    (corr_pallas.corr_train_fused)."""
     E, P, _, _ = coords.shape
     Nf, H, W, C = fmap.shape
     R = radius
@@ -349,8 +353,6 @@ def _corr_train_bwd(radius, res, grad_out):
 
     x = coords[..., 0]
     y = coords[..., 1]
-    gv = _unblend(grad_out.astype(jnp.float32), x, y, R)  # [E,P,P,D,D]
-
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
     sy = (jnp.clip(y0, -D, H + D) - R + pad).reshape(-1)
@@ -402,6 +404,18 @@ def _corr_train_bwd(radius, res, grad_out):
         jnp.concatenate(grad_f1, axis=0), ii, num_segments=gmap.shape[0]
     ).astype(gmap.dtype)
     grad_fmap = grad_fpad[:, pad:pad + H, pad:pad + W, :].astype(fmap.dtype)
+    return grad_gmap, grad_fmap
+
+
+def _corr_train_bwd(radius, res, grad_out):
+    gmap, fmap, coords, ii, jj = res
+    R = radius
+    x = coords[..., 0]
+    y = coords[..., 1]
+    gv = _unblend(grad_out.astype(jnp.float32), x, y, R)  # [E,P,P,D,D]
+    grad_gmap, grad_fmap = corr_bwd_from_gv(
+        gv, gmap, fmap, coords, ii, jj, radius
+    )
     import numpy as _np
 
     ct_int = lambda a: _np.zeros(a.shape, jax.dtypes.float0)

@@ -744,6 +744,132 @@ def _kernel_lat_compact(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref, out_ref,
         jax.lax.fori_loop(0, M // GANG, edge_gang, 0)
 
 
+def _kernel_lat_fused(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref, out_ref,
+                      scratch1, scratch2, tile_scratch, dmt_scratch,
+                      rs0, rs1, vi0, vi1, last_slot, sem1, sem2,
+                      *, C, PP, D, M, NI):
+    """_kernel_lat_compact with BINARY-ROLL window alignment and the
+    bilinear blend IN-KERNEL.
+
+    Two structural changes vs _kernel_lat_compact:
+
+      * the 2*GANG*PP per-window rolls become per-level BINARY ROLL passes:
+        the window offsets ride a [GANG*PP, TY*TX] broadcast int scratch
+        (filled by GANG*PP scalar splat-stores from SMEM) and 8 static
+        roll+select passes align ALL windows at once — O(8) big VPU ops
+        instead of O(GANG*PP) tiny slice/roll/store chains;
+      * fx/fy/ok pack into the SAME per-window SMEM scalar
+        (off | fx10<<8 | fy10<<18 | ok<<28) so the blend runs in-kernel as
+        three lane rolls on the compacted [GANG*PP, 64] block — NO extra
+        input blocks (extra per-step block DMAs are what sank the
+        corr_lattice_paired blend variant, STATUS round-3).
+
+    Output is FINAL blended data in the paired 128-lane layout:
+    out[e, q, l*64 + y*8 + x] = blend_l[e, q, y, x] (y, x < 2R+1; garbage
+    lanes zeroed). Invalid cells' rows remain uninitialized — the caller
+    masks them with `where(vmask)`."""
+    b = pl.program_id(0)
+    valid = tabs[b, 4] < NI
+    slot = tabs[b, 2]
+
+    @pl.when(b == 0)
+    def _init():
+        last_slot[0] = -1
+
+    @pl.when(valid & (slot != last_slot[0]))
+    def _load():
+        cp1 = pltpu.make_async_copy(fmap1_hbm.at[slot], scratch1, sem1)
+        cp2 = pltpu.make_async_copy(fmap2_hbm.at[slot], scratch2, sem2)
+        cp1.start()
+        cp2.start()
+        cp1.wait()
+        cp2.wait()
+        last_slot[0] = slot
+
+    @pl.when(valid)
+    def _compute():
+        # constant compaction matrix: band lane r*TX+c -> lane r*8+c
+        rowid = jax.lax.broadcasted_iota(jnp.int32, (D * TX, 64), 0)
+        outid = jax.lax.broadcasted_iota(jnp.int32, (D * TX, 64), 1)
+        S = (
+            (rowid // TX == outid // 8) & (rowid % TX == outid % 8)
+        ).astype(jnp.float32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (GANG * PP, 64), 1)
+        good = ((lane // 8) < D - 1) & ((lane % 8) < D - 1)
+
+        def edge_gang(i, carry):
+            for u in range(GANG):
+                e = i * GANG + u
+                for lvl, scratch in ((0, scratch1), (1, scratch2)):
+                    tile = scratch[
+                        pl.ds(scal_ref[0, 0, e, 2 * lvl], TY),
+                        pl.ds(
+                            pl.multiple_of(scal_ref[0, 0, e, 2 * lvl + 1], 8),
+                            TX,
+                        ),
+                        :,
+                    ]
+                    row = (u * 2 + lvl) * TY * TX
+                    tile_scratch[pl.ds(row, TY * TX), :] = tile.reshape(
+                        TY * TX, C
+                    )
+
+            g_gang = g_ref[0, pl.ds(i * GANG * PP, GANG * PP), :]
+            dmt = jax.lax.dot_general(
+                g_gang, tile_scratch[...],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [GANG*PP, GANG*2*TY*TX]
+            dmt_scratch[...] = dmt
+
+            for u in range(GANG):
+                e = i * GANG + u
+                for lvl, rs, vi in ((0, rs0, vi0), (1, rs1, vi1)):
+                    base = (u * 2 + lvl) * TY * TX
+                    rs[pl.ds(u * PP, PP), :] = dmt_scratch[
+                        pl.ds(u * PP, PP), pl.ds(base, TY * TX)
+                    ].astype(rs.dtype)
+                    for q in range(PP):
+                        v = scal_ref[0, 0, e, 4 + lvl * PP + q]
+                        vi[pl.ds(u * PP + q, 1), :] = jnp.full(
+                            (1, TY * TX), v, jnp.int32
+                        )
+
+            outs = []
+            for rs, vi in ((rs0, vi0), (rs1, vi1)):
+                r_ = rs[...]
+                v_ = vi[...]
+                off = v_ & 255
+                for bit in range(8):
+                    # left-roll by 2^bit == right-roll by size - 2^bit
+                    rolled = pltpu.roll(r_, TY * TX - (1 << bit), 1)
+                    r_ = jnp.where(((off >> bit) & 1) == 1, rolled, r_)
+                c = jax.lax.dot_general(
+                    r_[:, : D * TX], S,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [GANG*PP, 64]
+                v64 = v_[:, :64]
+                fx = ((v64 >> 8) & 1023).astype(jnp.float32) * (1.0 / 1024.0)
+                fy = ((v64 >> 18) & 1023).astype(jnp.float32) * (1.0 / 1024.0)
+                okm = ((v64 >> 28) & 1).astype(jnp.float32)
+                out_l = okm * (
+                    (1 - fy) * (1 - fx) * c
+                    + (1 - fy) * fx * pltpu.roll(c, 63, 1)
+                    + fy * (1 - fx) * pltpu.roll(c, 56, 1)
+                    + fy * fx * pltpu.roll(c, 55, 1)
+                )
+                outs.append(jnp.where(good, out_l, 0.0))
+
+            pair = jnp.concatenate(outs, axis=1)  # [GANG*PP, 128]
+            out_ref[0, 0, pl.ds(i * GANG, GANG)] = pair.astype(
+                out_ref.dtype
+            ).reshape(GANG, PP, 128)
+            return carry
+
+        jax.lax.fori_loop(0, M // GANG, edge_gang, 0)
+
+
 RING_PAD = 24  # = 3*D for D=8 (radius-3 windows)
 
 
@@ -1338,6 +1464,476 @@ def corr_lattice_compact(
     good = ((lane // 8) < 2 * R + 1) & ((lane % 8) < 2 * R + 1)
     blend = jnp.where(good, blend, 0.0)
     return blend.reshape(E, PP * 128).astype(jnp.bfloat16)
+
+
+def _pack_window_scalars(prep, E, PP):
+    """Per-window packed scalar for the fused kernel: tile offset (8b) |
+    fx (10b fixed-point) | fy (10b) | in-tile ok (1b)."""
+    x, y, x0, y0, ty, tx, oy, ox, ok = prep
+    off = (oy * TX + ox).reshape(E, PP)
+    fx = jnp.clip(
+        jnp.round((x - x0.astype(jnp.float32)) * 1024.0), 0, 1023
+    ).astype(jnp.int32).reshape(E, PP)
+    fy = jnp.clip(
+        jnp.round((y - y0.astype(jnp.float32)) * 1024.0), 0, 1023
+    ).astype(jnp.int32).reshape(E, PP)
+    okb = ok.reshape(E, PP).astype(jnp.int32)
+    return ty, tx, off | (fx << 8) | (fy << 18) | (okb << 28)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("r", "radius", "interpret", "prepadded", "hw")
+)
+def corr_lattice_fused(
+    gmap_r: jnp.ndarray,    # [MEM, M, P, P, C] gmap ring
+    fmap1: jnp.ndarray,     # [MEM, H, W, C]   level-1 ring (pre-padded ok)
+    fmap2: jnp.ndarray,     # [MEM, H//4, W//4, C] level-2 ring
+    coords: jnp.ndarray,    # [NI, T, M, P, P, 2] lattice-ordered coords
+    cell_valid: jnp.ndarray,  # [NI, T] bool
+    n,                      # traced int32: live keyframe count
+    slotmap: jnp.ndarray,   # [L] int32 logical frame -> ring slot
+    r: int,                 # PATCH_LIFETIME (static)
+    radius: int = 3,
+    interpret: bool = False,
+    prepadded: bool = False,
+    hw=None,                # (H1, W1, H2, W2) when prepadded
+) -> jnp.ndarray:
+    """Lattice correlation, FULLY in-kernel (_kernel_lat_fused): binary-roll
+    window alignment, compaction, AND the bilinear blend. Returns the
+    update net's corr input [NI*T*M, PP*128] bf16 in the PAIRED layout
+    (paired_corr_perm) — same contract as corr_lattice_compact; the only
+    XLA work left outside is the invalid-cell mask."""
+    NI, T, M, P, _, _ = coords.shape
+    if prepadded:
+        MEM, C = fmap1.shape[0], fmap1.shape[3]
+        H1, W1, H2, W2 = hw
+    else:
+        MEM, H1, W1, C = fmap1.shape
+        _, H2, W2, _ = fmap2.shape
+    L = slotmap.shape[0]
+    R = radius
+    D = 2 * R + 2
+    PP = P * P
+    pad = 3 * D
+    E = NI * T * M
+    assert M % GANG == 0, "lattice kernel needs M % 8 == 0"
+    assert D == 8, "fused kernel packs 8x8 windows into 64 lanes"
+
+    tabs, NB = _cell_tables(NI, T, M, r, n, cell_valid, slotmap, MEM, L)
+
+    cflat = coords.reshape(E, P, P, 2)
+    prep1 = _level_prep(cflat, H1, W1, P, R, D, pad)
+    prep2 = _level_prep(cflat / 4.0, H2, W2, P, R, D, pad)
+
+    ty1, tx1, v1 = _pack_window_scalars(prep1, E, PP)
+    ty2, tx2, v2 = _pack_window_scalars(prep2, E, PP)
+    scal = jnp.concatenate(
+        [ty1[:, None], tx1[:, None], ty2[:, None], tx2[:, None],
+         v1, v2], axis=1,
+    ).astype(jnp.int32).reshape(NI, T, M, 4 + 2 * PP)
+
+    if prepadded:
+        fpad1, fpad2 = fmap1, fmap2
+    else:
+        fpad1 = _pad_ring(fmap1, pad)
+        fpad2 = _pad_ring(fmap2, pad)
+    Hp1, Wp1 = fpad1.shape[1], fpad1.shape[2]
+    Hp2, Wp2 = fpad2.shape[1], fpad2.shape[2]
+
+    gflat = gmap_r.reshape(MEM, M * PP, C)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_lat_fused, C=C, PP=PP, D=D, M=M, NI=NI),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(NB,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(
+                    (1, M * PP, C), lambda b, tb: (tb[b, 3], 0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, M, 4 + 2 * PP),
+                    lambda b, tb: (tb[b, 0], tb[b, 1], 0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, M, PP, 128),
+                lambda b, tb: (tb[b, 4], tb[b, 1], 0, 0, 0),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((Hp1, Wp1, C), fmap1.dtype),
+                pltpu.VMEM((Hp2, Wp2, C), fmap2.dtype),
+                pltpu.VMEM((GANG * 2 * TY * TX, C), fmap1.dtype),
+                pltpu.VMEM((GANG * PP, GANG * 2 * TY * TX), jnp.float32),
+                pltpu.VMEM((GANG * PP, TY * TX), jnp.float32),
+                pltpu.VMEM((GANG * PP, TY * TX), jnp.float32),
+                pltpu.VMEM((GANG * PP, TY * TX), jnp.int32),
+                pltpu.VMEM((GANG * PP, TY * TX), jnp.int32),
+                pltpu.SMEM((1,), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (NI + 1, T, M, PP, 128), jnp.bfloat16
+        ),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(tabs, fpad1, fpad2, gflat, scal)
+
+    vmask = _cell_vmask(NI, T, M, r, n, cell_valid)
+    return jnp.where(
+        vmask[:, None], out[:NI].reshape(E, PP * 128), jnp.bfloat16(0.0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# training correlation: static-schedule fused kernel + custom VJP
+# ---------------------------------------------------------------------------
+
+def make_corr_train_sched(jj, n_slots: int, E_BLK: int = 64):
+    """Static launch tables for `corr_train_fused` from a STATIC edge list.
+
+    The training edge schedule (train/forward.py::edge_schedule) is known at
+    trace time, so the sort-by-target and per-block slot tables are plain
+    numpy — zero in-graph sort cost (the inference lattice gets the same
+    property from the lattice structure itself).
+
+    jj: [E] numpy target-frame index per edge. Returns dict with
+    src [E_pad] (padded-row -> edge index, pads replicate edge 0 of the
+    group), inv [E] (edge -> padded row), tabs [NB] (per-block fmap slot).
+    """
+    jj = np.asarray(jj)
+    E = jj.shape[0]
+    order = np.argsort(jj, kind="stable")
+    src_rows = []
+    tabs = []
+    for s in range(n_slots):
+        idx = order[jj[order] == s]
+        if len(idx) == 0:
+            continue
+        padded = len(idx) + (-len(idx)) % E_BLK
+        src = np.empty(padded, np.int64)
+        src[: len(idx)] = idx
+        src[len(idx):] = idx[0]          # pads: any edge of the same slot
+        src_rows.append(src)
+        tabs += [s] * (padded // E_BLK)
+    src = np.concatenate(src_rows)
+    E_pad = len(src)
+    inv = np.zeros(E, np.int64)
+    first = np.full(E, -1, np.int64)
+    for row, e in enumerate(src):        # first occurrence wins
+        if first[e] < 0:
+            first[e] = row
+    inv = first
+    assert (inv >= 0).all()
+    return {
+        "src": jnp.asarray(src, jnp.int32),
+        "inv": jnp.asarray(inv, jnp.int32),
+        "tabs": jnp.asarray(np.asarray(tabs, np.int32)),
+        "E_BLK": E_BLK,
+    }
+
+
+def _kernel_sched_fused(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref, out_ref,
+                        scratch1, scratch2, tile_scratch, dmt_scratch,
+                        rs0, rs1, vi0, vi1, last_slot, sem1, sem2,
+                        *, C, PP, D, E_BLK):
+    """_kernel_lat_fused for a STATIC sorted edge schedule (training): one
+    grid step = E_BLK same-target edges; no validity gating (pads replicate
+    real edges and are dropped by the caller's inverse permutation)."""
+    b = pl.program_id(0)
+    slot = tabs[b]
+
+    @pl.when(b == 0)
+    def _init():
+        last_slot[0] = -1
+
+    @pl.when(slot != last_slot[0])
+    def _load():
+        cp1 = pltpu.make_async_copy(fmap1_hbm.at[slot], scratch1, sem1)
+        cp2 = pltpu.make_async_copy(fmap2_hbm.at[slot], scratch2, sem2)
+        cp1.start()
+        cp2.start()
+        cp1.wait()
+        cp2.wait()
+        last_slot[0] = slot
+
+    rowid = jax.lax.broadcasted_iota(jnp.int32, (D * TX, 64), 0)
+    outid = jax.lax.broadcasted_iota(jnp.int32, (D * TX, 64), 1)
+    S = (
+        (rowid // TX == outid // 8) & (rowid % TX == outid % 8)
+    ).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (GANG * PP, 64), 1)
+    good = ((lane // 8) < D - 1) & ((lane % 8) < D - 1)
+
+    def edge_gang(i, carry):
+        for u in range(GANG):
+            e = i * GANG + u
+            for lvl, scratch in ((0, scratch1), (1, scratch2)):
+                tile = scratch[
+                    pl.ds(scal_ref[0, e, 2 * lvl], TY),
+                    pl.ds(
+                        pl.multiple_of(scal_ref[0, e, 2 * lvl + 1], 8), TX
+                    ),
+                    :,
+                ]
+                row = (u * 2 + lvl) * TY * TX
+                tile_scratch[pl.ds(row, TY * TX), :] = tile.reshape(
+                    TY * TX, C
+                )
+
+        g_gang = g_ref[0, pl.ds(i * GANG * PP, GANG * PP), :]
+        dmt = jax.lax.dot_general(
+            g_gang, tile_scratch[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dmt_scratch[...] = dmt
+
+        for u in range(GANG):
+            e = i * GANG + u
+            for lvl, rs, vi in ((0, rs0, vi0), (1, rs1, vi1)):
+                base = (u * 2 + lvl) * TY * TX
+                rs[pl.ds(u * PP, PP), :] = dmt_scratch[
+                    pl.ds(u * PP, PP), pl.ds(base, TY * TX)
+                ].astype(rs.dtype)
+                for q in range(PP):
+                    v = scal_ref[0, e, 4 + lvl * PP + q]
+                    vi[pl.ds(u * PP + q, 1), :] = jnp.full(
+                        (1, TY * TX), v, jnp.int32
+                    )
+
+        outs = []
+        for rs, vi in ((rs0, vi0), (rs1, vi1)):
+            r_ = rs[...]
+            v_ = vi[...]
+            off = v_ & 255
+            for bit in range(8):
+                rolled = pltpu.roll(r_, TY * TX - (1 << bit), 1)
+                r_ = jnp.where(((off >> bit) & 1) == 1, rolled, r_)
+            c = jax.lax.dot_general(
+                r_[:, : D * TX], S,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            v64 = v_[:, :64]
+            fx = ((v64 >> 8) & 1023).astype(jnp.float32) * (1.0 / 1024.0)
+            fy = ((v64 >> 18) & 1023).astype(jnp.float32) * (1.0 / 1024.0)
+            okm = ((v64 >> 28) & 1).astype(jnp.float32)
+            out_l = okm * (
+                (1 - fy) * (1 - fx) * c
+                + (1 - fy) * fx * pltpu.roll(c, 63, 1)
+                + fy * (1 - fx) * pltpu.roll(c, 56, 1)
+                + fy * fx * pltpu.roll(c, 55, 1)
+            )
+            outs.append(jnp.where(good, out_l, 0.0))
+
+        pair = jnp.concatenate(outs, axis=1)
+        out_ref[0, pl.ds(i * GANG, GANG)] = pair.astype(
+            out_ref.dtype
+        ).reshape(GANG, PP, 128)
+        return carry
+
+    jax.lax.fori_loop(0, E_BLK // GANG, edge_gang, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("radius", "E_BLK", "interpret")
+)
+def corr_sched_fused(gmap, fmap1, fmap2, coords, kk, src, inv, tabs,
+                     radius: int = 3, E_BLK: int = 64,
+                     interpret: bool = False):
+    """Training correlation forward, both pyramid levels in one fused
+    Pallas pass (binary-roll alignment + compaction + bilinear blend —
+    _kernel_sched_fused).
+
+    gmap [Mg, P, P, C]; fmap1 [Nf, H, W, C]; fmap2 [Nf, H//4, W//4, C];
+    coords [E, P, P, 2] level-1 resolution; kk [E] gmap rows; src/inv/tabs
+    from `make_corr_train_sched`. Returns [E, PP*128] bf16 in the PAIRED
+    layout (paired_corr_perm): lane q*128 + l*64 + y*8 + x."""
+    E, P = coords.shape[0], coords.shape[1]
+    Nf, H1, W1, C = fmap1.shape
+    _, H2, W2, _ = fmap2.shape
+    R = radius
+    D = 2 * R + 2
+    PP = P * P
+    pad = 3 * D
+    NB = tabs.shape[0]
+    E_pad = NB * E_BLK
+    assert E_BLK % GANG == 0 and D == 8
+
+    cs = jnp.take(coords, src, axis=0).reshape(E_pad, P, P, 2)
+    g_s = jnp.take(
+        gmap.reshape(-1, PP, C), jnp.take(kk, src, axis=0), axis=0
+    ).astype(jnp.bfloat16)
+
+    prep1 = _level_prep(cs, H1, W1, P, R, D, pad)
+    prep2 = _level_prep(cs / 4.0, H2, W2, P, R, D, pad)
+    ty1, tx1, v1 = _pack_window_scalars(prep1, E_pad, PP)
+    ty2, tx2, v2 = _pack_window_scalars(prep2, E_pad, PP)
+    scal = jnp.concatenate(
+        [ty1[:, None], tx1[:, None], ty2[:, None], tx2[:, None], v1, v2],
+        axis=1,
+    ).astype(jnp.int32).reshape(NB, E_BLK, 4 + 2 * PP)
+
+    fpad1 = _pad_ring(fmap1.astype(jnp.bfloat16), pad)
+    fpad2 = _pad_ring(fmap2.astype(jnp.bfloat16), pad)
+    Hp1, Wp1 = fpad1.shape[1], fpad1.shape[2]
+    Hp2, Wp2 = fpad2.shape[1], fpad2.shape[2]
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_sched_fused, C=C, PP=PP, D=D, E_BLK=E_BLK
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(NB,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(
+                    (1, E_BLK * PP, C), lambda b, tb: (b, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, E_BLK, 4 + 2 * PP), lambda b, tb: (b, 0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, E_BLK, PP, 128), lambda b, tb: (b, 0, 0, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((Hp1, Wp1, C), jnp.bfloat16),
+                pltpu.VMEM((Hp2, Wp2, C), jnp.bfloat16),
+                pltpu.VMEM((GANG * 2 * TY * TX, C), jnp.bfloat16),
+                pltpu.VMEM((GANG * PP, GANG * 2 * TY * TX), jnp.float32),
+                pltpu.VMEM((GANG * PP, TY * TX), jnp.float32),
+                pltpu.VMEM((GANG * PP, TY * TX), jnp.float32),
+                pltpu.VMEM((GANG * PP, TY * TX), jnp.int32),
+                pltpu.VMEM((GANG * PP, TY * TX), jnp.int32),
+                pltpu.SMEM((1,), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (NB, E_BLK, PP, 128), jnp.bfloat16
+        ),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(tabs, fpad1, fpad2, g_s.reshape(NB, E_BLK * PP, C), scal)
+
+    return jnp.take(out.reshape(E_pad, PP * 128), inv, axis=0)
+
+
+def _paired_unblend(ct_l, coords_l, H, W, P, R):
+    """Raw-tap gradient from a PAIRED-layout per-level cotangent.
+
+    ct_l [E, PP, 64] (lane y*8+x); returns gv [E, P, P, D, D]. Transpose of
+    the kernel's in-kernel blend: gv[y,x] = sum_{dy,dx} w_dydx *
+    g[y-dy, x-dx], masked by the same in-tile `ok` the forward applied."""
+    E = ct_l.shape[0]
+    D = 2 * R + 2
+    d = 2 * R + 1
+    PP = P * P
+    pad = 3 * D
+    prep = _level_prep(
+        coords_l.reshape(E, P, P, 2), H, W, P, R, D, pad
+    )
+    x, y, x0, y0, _, _, _, _, ok = prep
+
+    g = ct_l.reshape(E, PP, D, D)
+    lane_y = jnp.arange(D) < d
+    g = jnp.where(lane_y[:, None] & lane_y[None, :], g, 0.0)
+
+    fx = (x - x0.astype(jnp.float32)).reshape(E, PP, 1, 1)
+    fy = (y - y0.astype(jnp.float32)).reshape(E, PP, 1, 1)
+
+    def sh(dy, dx):
+        return jnp.pad(g, ((0, 0), (0, 0), (dy, 0), (dx, 0)))[
+            :, :, : D, : D
+        ]
+
+    gv = (
+        (1 - fy) * (1 - fx) * g
+        + (1 - fy) * fx * sh(0, 1)
+        + fy * (1 - fx) * sh(1, 0)
+        + fy * fx * sh(1, 1)
+    )
+    gv = gv * ok.reshape(E, PP, 1, 1)
+    return gv.reshape(E, P, P, D, D)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def corr_train_fused(gmap, fmap1, fmap2, coords, kk, jj, sched_src_inv,
+                     tabs, radius=3, E_BLK=64, interpret=False):
+    """Differentiable two-level training correlation, Pallas forward.
+
+    Forward: `corr_sched_fused` (one fused kernel pass for both pyramid
+    levels, PAIRED output layout). Backward: the memory-bounded XLA
+    regather (ops/corr.corr_bwd_from_gv) per level — gradients flow to
+    gmap/fmap only, coords dropped, matching the reference backward
+    (altcorr/correlation.py:32-45). The SPREAD window clip of the forward
+    is mirrored in the backward (`ok` masking) so fwd/bwd stay consistent.
+    """
+    src, inv = sched_src_inv
+    return corr_sched_fused(
+        gmap, fmap1, fmap2, coords, kk, src, inv, tabs,
+        radius=radius, E_BLK=E_BLK, interpret=interpret,
+    )
+
+
+def _ctf_fwd(gmap, fmap1, fmap2, coords, kk, jj, sched_src_inv, tabs,
+             radius, E_BLK, interpret):
+    out = corr_train_fused(
+        gmap, fmap1, fmap2, coords, kk, jj, sched_src_inv, tabs,
+        radius, E_BLK, interpret,
+    )
+    return out, (gmap, fmap1, fmap2, coords, kk, jj, sched_src_inv, tabs)
+
+
+def _ctf_bwd(radius, E_BLK, interpret, res, ct):
+    from .corr import corr_bwd_from_gv
+
+    gmap, fmap1, fmap2, coords, kk, jj, (src, inv), tabs = res
+    E, P = coords.shape[0], coords.shape[1]
+    PP = P * P
+    R = radius
+    gmap_f = gmap.reshape(-1, P, P, gmap.shape[-1])
+
+    ctf = ct.astype(jnp.float32).reshape(E, PP, 2, 64)
+    grad_g = jnp.zeros_like(gmap_f, dtype=jnp.float32)
+    grads_f = []
+    for lvl, fmap in ((0, fmap1), (1, fmap2)):
+        coords_l = coords if lvl == 0 else coords / 4.0
+        H, W = fmap.shape[1], fmap.shape[2]
+        gv = _paired_unblend(ctf[:, :, lvl], coords_l, H, W, P, R)
+        gg, gf = corr_bwd_from_gv(
+            gv, gmap_f, fmap.astype(jnp.float32), coords_l, kk, jj, R
+        )
+        grad_g = grad_g + gg
+        grads_f.append(gf.astype(fmap.dtype))
+
+    ct_int = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return (
+        grad_g.reshape(gmap.shape).astype(gmap.dtype),
+        grads_f[0], grads_f[1],
+        jnp.zeros_like(coords),
+        ct_int(kk), ct_int(jj),
+        (ct_int(src), ct_int(inv)),
+        ct_int(tabs),
+    )
+
+
+corr_train_fused.defvjp(_ctf_fwd, _ctf_bwd)
 
 
 @functools.lru_cache(maxsize=4)

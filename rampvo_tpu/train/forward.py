@@ -56,6 +56,32 @@ def _cgd_bwd(p, res, g):
 corr_grad_dropout.defvjp(_cgd_fwd, _cgd_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def corr_grad_dropout_paired(x, rng_a, rng_b, p: float):
+    """`corr_grad_dropout` for the PAIRED corr layout [E, PP*128]: the two
+    pyramid levels interleave on 64-lane halves, each keeps its per-edge
+    gradient independently (matching the two per-level dropout calls of the
+    XLA path / altcorr/correlation.py:35-40)."""
+    return x
+
+
+def _cgdp_fwd(x, rng_a, rng_b, p):
+    return x, (rng_a, rng_b, x.shape)
+
+
+def _cgdp_bwd(p, res, g):
+    rng_a, rng_b, shape = res
+    E = shape[0]
+    keep_a = jax.random.uniform(rng_a, (E, 1)) < p
+    keep_b = jax.random.uniform(rng_b, (E, 1)) < p
+    lvl = (jnp.arange(shape[1]) // 64) % 2
+    keep = jnp.where(lvl[None, :] == 0, keep_a, keep_b)
+    return (g * keep.astype(g.dtype), None, None)
+
+
+corr_grad_dropout_paired.defvjp(_cgdp_fwd, _cgdp_bwd)
+
+
 def corr_chunked(gmap, fmap, coords, kk, jj, radius, n_chunks=8):
     """Training correlation in edge chunks, each rematerialized.
 
@@ -144,7 +170,8 @@ class TrainForward:
 
     def __init__(self, vonet: VONet, n_frames: int, M: int = 80,
                  steps: int = 18, flow_weight: float = 0.1,
-                 pose_weight: float = 10.0, event_bias: bool = True, P: int = 3):
+                 pose_weight: float = 10.0, event_bias: bool = True, P: int = 3,
+                 ablate: frozenset = frozenset(), corr_impl: str = "auto"):
         self.vonet = vonet
         self.n_frames = n_frames
         self.M = M
@@ -153,7 +180,22 @@ class TrainForward:
         self.flow_weight = flow_weight
         self.pose_weight = pose_weight
         self.event_bias = event_bias
+        # perf-probe ablations (scripts/probe_train_ablate.py):
+        # "corr" -> zeros for corr_in, "encoder" -> zero feature maps,
+        # "ba" -> skip the differentiable BA, "update" -> skip the GRU net
+        self.ablate = frozenset(ablate)
+        # "fused": Pallas two-level kernel + custom VJP (TPU);
+        # "fused_interpret": same in interpret mode (CPU tests);
+        # "xla": exact gather path; "auto" = fused on TPU else xla
+        self.corr_impl = corr_impl
         self.sched = edge_schedule(n_frames, M, steps)
+
+        # static sort-by-target tables for the fused training corr kernel
+        from ..ops.corr_pallas import make_corr_train_sched
+
+        self.corr_sched = make_corr_train_sched(
+            self.sched.jj, n_frames, E_BLK=64
+        )
 
         # static-schedule precomputations: the edge lists are compile-time
         # constants, so the update operator's neighbour sort and SoftAgg
@@ -195,9 +237,16 @@ class TrainForward:
             )
             return f, i
 
-        fmap, imap_full = jax.checkpoint(_encode)(params, events, images, mask)
-        fmap = fmap.astype(jnp.float32)
-        imap_full = imap_full.astype(jnp.float32)
+        if "encoder" in self.ablate:
+            H4, W4 = events.shape[1] // 4, events.shape[2] // 4
+            fmap = jnp.zeros((NF, H4, W4, 128), jnp.float32)
+            imap_full = jnp.zeros((NF, H4, W4, DIM), jnp.float32)
+        else:
+            fmap, imap_full = jax.checkpoint(_encode)(
+                params, events, images, mask
+            )
+            fmap = fmap.astype(jnp.float32)
+            imap_full = imap_full.astype(jnp.float32)
 
         # ---- patch selection + extraction ----
         rng, k_sel = jax.random.split(rng)
@@ -235,6 +284,20 @@ class TrainForward:
             Gs0 = poses
 
         host_of_patch = jnp.arange(NF * cfgM) // cfgM
+
+        impl = self.corr_impl
+        if impl == "auto":
+            impl = "fused" if jax.default_backend() == "tpu" else "xla"
+        fused_corr = impl in ("fused", "fused_interpret")
+        if fused_corr:
+            # the Pallas kernel emits the PAIRED 128-lane layout; fold the
+            # layout permutation into corr_fc1 ONCE per step (linear -> the
+            # gradient lands back on the canonical checkpoint layout)
+            from ..models.vonet import fold_corr_fc1
+
+            params_u = fold_corr_fc1(params, "paired")
+        else:
+            params_u = params
 
         def _transform(G, ptc, intr, e_ii, e_jj, e_kk):
             from ..geometry.projective import transform_edges
@@ -288,18 +351,41 @@ class TrainForward:
 
             # --- reproject + corr + update (net.py:342-346) ---
             coords_e = _transform(Gs, patches, intr4, ii, jj, kk)  # [E,P,P,2]
-            c1 = corr_train(gmap_flat, pyr1, coords_e, kk, jj, 3)
-            c2 = corr_train(gmap_flat, pyr2, coords_e / 4.0, kk, jj, 3)
-            rng, k_c1, k_c2 = jax.random.split(rng, 3)
-            c1 = corr_grad_dropout(c1, k_c1, 0.2)
-            c2 = corr_grad_dropout(c2, k_c2, 0.2)
-            corr_in = corr_stack(c1, c2)
+            if "corr" in self.ablate:
+                d = 2 * 3 + 1
+                width = P * P * 128 if fused_corr else 2 * P * P * d * d
+                corr_in = jnp.zeros((E, width), jnp.float32)
+                corr_in = corr_in + 0.0 * coords_e.sum()  # keep coords live
+            elif fused_corr:
+                from ..ops.corr_pallas import corr_train_fused
 
-            net, (delta, weight) = self.vonet.apply(
-                params, net, imap_flat[kk], corr_in, ii, jj, kk, valid,
-                None, self.static_sched,
-                method=VONet.update_op,
-            )
+                corr_in = corr_train_fused(
+                    gmap_flat, pyr1, pyr2, coords_e, kk, jj,
+                    (self.corr_sched["src"], self.corr_sched["inv"]),
+                    self.corr_sched["tabs"], 3, self.corr_sched["E_BLK"],
+                    impl == "fused_interpret",
+                )
+                rng, k_c1, k_c2 = jax.random.split(rng, 3)
+                corr_in = corr_grad_dropout_paired(
+                    corr_in, k_c1, k_c2, 0.2
+                ).astype(jnp.float32)
+            else:
+                c1 = corr_train(gmap_flat, pyr1, coords_e, kk, jj, 3)
+                c2 = corr_train(gmap_flat, pyr2, coords_e / 4.0, kk, jj, 3)
+                rng, k_c1, k_c2 = jax.random.split(rng, 3)
+                c1 = corr_grad_dropout(c1, k_c1, 0.2)
+                c2 = corr_grad_dropout(c2, k_c2, 0.2)
+                corr_in = corr_stack(c1, c2)
+
+            if "update" in self.ablate:
+                delta = 0.0 * corr_in[:, :2]
+                weight = jnp.ones_like(delta)
+            else:
+                net, (delta, weight) = self.vonet.apply(
+                    params_u, net, imap_flat[kk], corr_in, ii, jj, kk, valid,
+                    None, self.static_sched,
+                    method=VONet.update_op,
+                )
 
             target = coords_e[:, P // 2, P // 2, :] + delta
             wgt = weight * valid[:, None].astype(weight.dtype)
@@ -307,7 +393,7 @@ class TrainForward:
             # --- 2 x differentiable BA (net.py:352-367) ---
             GsW = SE3(Gs[None])
             ptcB = patches[None]
-            for _ in range(2):
+            for _ in range(2 if "ba" not in self.ablate else 0):
                 GsW, ptcB = ba_train(
                     GsW, ptcB, intr_frames[None], target[None], wgt[None],
                     jnp.float32(1e-4), ii, jj, kk, bounds, ep=10.0,

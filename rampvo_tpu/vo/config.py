@@ -36,14 +36,15 @@ class VOConfig:
     CORR_IMPL: str = "auto"
 
     # lattice-path implementation toggles (A/B-able; defaults = fastest
-    # measured). CORR_LAYOUT: "paired" = in-kernel 8x8 window compaction +
-    # lane-shift blend (corr_lattice_compact), "folded" = stacked band
-    # kernel + XLA band finish (corr_lattice2_stacked(folded=True)).
+    # measured). CORR_LAYOUT: "fused" = in-kernel binary-roll alignment +
+    # compaction + blend (corr_lattice_fused), "paired" = in-kernel
+    # compaction + XLA lane-shift blend (corr_lattice_compact), "folded" =
+    # stacked band kernel + XLA band finish (corr_lattice2_stacked).
     # False: the fused single-step encoder (models/encoders_fused.py)
     # measured +3.0 ms SLOWER than the straight flax path in-frame
     # (scripts/ab_frame_variants.py — grouped convs + gate matmul lose)
     FUSED_ENCODER: bool = False
-    CORR_LAYOUT: str = "paired"
+    CORR_LAYOUT: str = "fused"
     CELL_REPROJECT: bool = True  # per-cell relative poses in reprojection
     CELL_LINEARIZE: bool = True  # per-cell linearization inside ba_infer
 

@@ -41,6 +41,7 @@ from ..ops.corr_pallas import (
     RING_PAD,
     corr_lattice2_stacked,
     corr_lattice_compact,
+    corr_lattice_fused,
     corr_pallas2,
     folded_corr_perm,
     paired_corr_perm,
@@ -195,31 +196,10 @@ def _reproject_edges_lattice(cfg: VOConfig, state: VOState, ii, jj, kk):
 
 def _fold_corr_fc1(params, layout: str = "folded"):
     """Permute corr_fc1's kernel rows so it consumes the kernel-native corr
-    layout — the window transpose / level interleave / window padding become
-    a small weight gather instead of an [E, 882+]-wide relayout every
-    update.
+    layout (models.vonet.fold_corr_fc1 — shared with the training path)."""
+    from ..models.vonet import fold_corr_fc1
 
-    layout "folded": corr_lattice2_stacked(folded=True) columns
-    (ops.corr_pallas.folded_corr_perm). layout "paired": the 128-lane
-    paired layout of corr_lattice_compact/_paired (paired_corr_perm;
-    garbage lanes get zero weight rows)."""
-    p = dict(params)
-    pp = dict(p["params"])
-    up = dict(pp["update"])
-    fc = dict(up["corr_fc1"])
-    if layout == "paired":
-        idx = jnp.asarray(paired_corr_perm(3, 3))
-        W = fc["kernel"]
-        fc["kernel"] = jnp.where(
-            (idx >= 0)[:, None], W[jnp.clip(idx, 0, W.shape[0] - 1)], 0.0
-        )
-    else:
-        inv = jnp.asarray(folded_corr_perm(3, 3))
-        fc["kernel"] = fc["kernel"][inv]
-    up["corr_fc1"] = fc
-    pp["update"] = up
-    p["params"] = pp
-    return p
+    return fold_corr_fc1(params, layout)
 
 
 def _resolve_corr_impl(cfg: VOConfig) -> str:
@@ -247,13 +227,16 @@ def _edge_corr_ctx_lattice(cfg: VOConfig, state: VOState, ii, jj, kk):
     else:
         coords = _reproject_edges(cfg, state, ii, jj, kk)
     h4, w4 = state.hw4
-    if cfg.CORR_LAYOUT == "paired":
+    if cfg.CORR_LAYOUT in ("fused", "paired"):
         # paired 128-lane layout: the kernel emits 8x8-compacted windows
         # (one constant 0/1 MXU matmul in-kernel, 3x less output than the
-        # stacked band) and the bilinear blend runs as lane shifts outside;
-        # window permute + level interleave fold into corr_fc1's kernel by
-        # update_fn (ops/corr_pallas.paired_corr_perm)
-        corr_in = corr_lattice_compact(
+        # stacked band). "fused" does binary-roll window alignment AND the
+        # bilinear blend in-kernel; "paired" (corr_lattice_compact) blends
+        # outside as lane shifts. Window permute + level interleave fold
+        # into corr_fc1's kernel by update_fn (paired_corr_perm).
+        kfn = (corr_lattice_fused if cfg.CORR_LAYOUT == "fused"
+               else corr_lattice_compact)
+        corr_in = kfn(
             state.gmap_r, state.fmap1_r, state.fmap2_r,
             coords.reshape(NI, T, M, P, P, 2), state.cell_valid,
             state.n, state.slotmap, cfg.PATCH_LIFETIME, 3,
@@ -622,7 +605,10 @@ def make_vo_frame(cfg: VOConfig, vonet: VONet, event_bias: bool = True,
     def update_fn(params, net, ctx, corr_in, ii, jj, kk, valid, lattice=None):
         if lattice is not None:
             # corr_in is in the kernel-native layout (cfg.CORR_LAYOUT)
-            params = _fold_corr_fc1(params, layout=cfg.CORR_LAYOUT)
+            params = _fold_corr_fc1(
+                params,
+                layout="folded" if cfg.CORR_LAYOUT == "folded" else "paired",
+            )
         if cfg.MIXED_PRECISION:
             # inference update runs in half precision like the reference's
             # fp16 autocast (Ramp_vo.py:23,280-284); outputs restored to f32
@@ -751,7 +737,10 @@ def make_final_updates(cfg: VOConfig, vonet: VONet, iters: int = 12,
 
     def update_fn(params, net, ctx, corr_in, ii, jj, kk, valid, lattice=None):
         if lattice is not None:
-            params = _fold_corr_fc1(params, layout=cfg.CORR_LAYOUT)
+            params = _fold_corr_fc1(
+                params,
+                layout="folded" if cfg.CORR_LAYOUT == "folded" else "paired",
+            )
         return vonet.apply(
             params, net, ctx, corr_in, ii, jj, kk, valid, lattice,
             lattice_contig=True,

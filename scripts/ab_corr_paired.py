@@ -13,6 +13,7 @@ import numpy as np
 from rampvo_tpu.ops.corr_pallas import (
     corr_lattice2_stacked,
     corr_lattice_compact,
+    corr_lattice_fused,
     corr_lattice_paired,
 )
 
@@ -50,8 +51,8 @@ def main():
             gmap_r, fmap1, fmap2, coords, cell_valid, nn_, slotmap, r, 3
         )
 
-    def run_paired():
-        return corr_lattice_paired(
+    def run_fused():
+        return corr_lattice_fused(
             gmap_r, fmap1, fmap2, coords, cell_valid, nn_, slotmap, r, 3
         )
 
@@ -61,6 +62,11 @@ def main():
             folded=True,
         )
 
+    t0 = time.perf_counter()
+    out_f = run_fused()
+    float(jnp.sum(out_f.astype(jnp.float32)[:64]))
+    print(f"fused compile+run: {time.perf_counter() - t0:.1f}s "
+          f"out={out_f.shape}")
     t0 = time.perf_counter()
     out_c = run_compact()
     float(jnp.sum(out_c.astype(jnp.float32)[:64]))
@@ -83,8 +89,10 @@ def main():
             best = min(best, (time.perf_counter() - t0) / n_it)
         return best
 
+    tf = timeit(run_fused)
     tc = timeit(run_compact)
     ts = timeit(run_stacked)
+    print(f"fused:   {tf*1e3:6.1f} ms/call")
     print(f"compact: {tc*1e3:6.1f} ms/call")
     print(f"stacked: {ts*1e3:6.1f} ms/call")
 

@@ -29,6 +29,7 @@ BASE = dict(
 VARIANTS = [
     ("all-new", {}),
     ("enc=vonet", {"FUSED_ENCODER": False}),
+    ("corr=paired", {"CORR_LAYOUT": "paired"}),
     ("corr=folded", {"CORR_LAYOUT": "folded"}),
     ("reproj=edge", {"CELL_REPROJECT": False}),
     ("ba-lin=edge", {"CELL_LINEARIZE": False}),

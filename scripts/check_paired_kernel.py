@@ -20,6 +20,7 @@ from rampvo_tpu.ops.corr import corr_stack
 from rampvo_tpu.ops.corr_pallas import (
     corr_lattice2,
     corr_lattice_compact,
+    corr_lattice_fused,
     corr_lattice_paired,
     paired_corr_perm,
 )
@@ -92,6 +93,22 @@ def main():
     print(f"compact parity: {d2/scale:.2e} rel")
     assert np.isfinite(compact).all(), "non-finite compact output"
     assert d2 / scale < 2e-2, d2 / scale
+
+    fused = np.asarray(
+        corr_lattice_fused(
+            gmap_r, fmap1, fmap2, coords, cell_valid, jnp.int32(n), slotmap,
+            r, 3, interpret=True,
+        ),
+        np.float32,
+    )
+    rec3 = np.zeros((E, ref.shape[1]), np.float32)
+    for c, rc in enumerate(idx):
+        if rc >= 0:
+            rec3[:, rc] = fused[:, c]
+    d3 = np.abs(ref - rec3).max()
+    print(f"fused parity: {d3/scale:.2e} rel")
+    assert np.isfinite(fused).all(), "non-finite fused output"
+    assert d3 / scale < 2e-2, d3 / scale
     print("OK")
 
 
