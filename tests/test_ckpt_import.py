@@ -101,6 +101,19 @@ class TestMappingCompleteness:
         sd.update(_fake_update_state_dict())
         variables, skipped = map_state_dict(sd, mode)
 
+        # every skipped key must be a known-dead module (importer policy:
+        # update.lmbda + the MultiScale heads' unused layer2/conv2,
+        # ckpt/torch_import.py::_UNUSED); anything else raising/skipping
+        # would silently drop real weights
+        import re
+
+        allowed = re.compile(
+            r"update\.lmbda$"
+            r"|patchify\.encoder\.(fmap|imap)_encoder\.(layer2|conv2)\."
+        )
+        unexpected = [k for k in skipped if not allowed.match(k)]
+        assert not unexpected, unexpected
+
         net = VONet(input_mode=mode)
         ref_init = net.init(
             jax.random.PRNGKey(0),
