@@ -47,6 +47,7 @@ class VOConfig:
     CORR_LAYOUT: str = "fused"
     CELL_REPROJECT: bool = True  # per-cell relative poses in reprojection
     CELL_LINEARIZE: bool = True  # per-cell linearization inside ba_infer
+    BA_ITERS: int = 2            # GN iterations per update (Ramp_vo.py:304)
 
     # TPU-native capacities (not in the reference; sized from its dynamics)
     MAX_FRAMES: int = 4096       # global frame-id capacity (>= total frames)

@@ -398,7 +398,11 @@ def _update(cfg: VOConfig, update_fn, params, state: VOState,
             params, net_flat, ctx, corr_in, ii, jj, kk, valid, lattice
         )
     else:
-        coords = _reproject_edges(cfg, state, ii, jj, kk)
+        if (_resolve_corr_impl(cfg).startswith("lattice")
+                and cfg.CELL_REPROJECT):
+            coords = _reproject_edges_lattice(cfg, state, ii, jj, kk)
+        else:
+            coords = _reproject_edges(cfg, state, ii, jj, kk)
         delta, weight = oracle(state, ii, jj, kk, coords)
 
     target = coords[:, P // 2, P // 2, :] + delta
@@ -434,7 +438,8 @@ def _update(cfg: VOConfig, update_fn, params, state: VOState,
         jnp.float32(1e-4),
         ii - base, jj - base, kk - base * M,
         t0 - base, n - base,
-        N=cfg.OPTIMIZATION_WINDOW, M=PW * M, iterations=2, valid=valid,
+        N=cfg.OPTIMIZATION_WINDOW, M=PW * M, iterations=cfg.BA_ITERS,
+        valid=valid,
         lattice=ba_lat, win_rows=win_rows,
         cell_linearize=cfg.CELL_LINEARIZE,
     )

@@ -28,11 +28,8 @@ BASE = dict(
 
 VARIANTS = [
     ("all-new", {}),
-    ("enc=vonet", {"FUSED_ENCODER": False}),
     ("corr=paired", {"CORR_LAYOUT": "paired"}),
     ("corr=folded", {"CORR_LAYOUT": "folded"}),
-    ("reproj=edge", {"CELL_REPROJECT": False}),
-    ("ba-lin=edge", {"CELL_LINEARIZE": False}),
     ("all-old", {"FUSED_ENCODER": False, "CORR_LAYOUT": "folded",
                  "CELL_REPROJECT": False, "CELL_LINEARIZE": False}),
 ]

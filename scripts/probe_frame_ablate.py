@@ -114,7 +114,8 @@ def main():
     )
 
     def frame(params, st, events, images, m, intrinsics,
-              do_enc=True, do_update=True, do_kf=True, oracle=None):
+              do_enc=True, do_update=True, do_kf=True, oracle=None,
+              cfg=cfg):
         events = events.astype(jnp.float32)
         images = images.astype(jnp.float32)
         if do_enc:
@@ -153,17 +154,27 @@ def main():
         d = jnp.zeros((ii.shape[0], 2), jnp.float32)
         return d, jnp.ones_like(d)
 
+    import dataclasses
+
     t_all = mk("all")
     t_nokf = mk("no_kf", do_kf=False)
     t_noupd = mk("no_update", do_update=False)
     t_oracle = mk("oracle_update (BA only)", oracle=oracle)
     t_noenc = mk("no_encoder", do_enc=False)
+    # BA sub-stages: per-GN-iteration cost (oracle @ 1 iter vs 2) and the
+    # reproject-only floor (oracle @ 0 iters keeps reproject + state writes)
+    t_ba1 = mk("oracle_ba1", oracle=oracle,
+               cfg=dataclasses.replace(cfg, BA_ITERS=1))
+    t_ba0 = mk("oracle_ba0", oracle=oracle,
+               cfg=dataclasses.replace(cfg, BA_ITERS=0))
 
     print(f"frame all        : {t_all:6.2f} ms")
     print(f"  keyframe       : {t_all - t_nokf:6.2f} ms (all - no_kf)")
     print(f"  update total   : {t_all - t_noupd:6.2f} ms (all - no_update)")
     print(f"    corr+net     : {t_all - t_oracle:6.2f} ms (all - oracle)")
     print(f"    BA+misc      : {t_oracle - t_noupd:6.2f} ms")
+    print(f"      GN iter    : {t_oracle - t_ba1:6.2f} ms (2it - 1it)")
+    print(f"      reproject+ : {t_ba0 - t_noupd:6.2f} ms (0it - no_update)")
     print(f"  encoder        : {t_all - t_noenc:6.2f} ms (all - no_encoder)")
     print(f"  commit/select  : {t_noupd - (t_all - t_nokf) - (t_all - t_noenc):6.2f} ms (residual)")
 
