@@ -1,0 +1,210 @@
+"""Channel-major Pallas kernel for the per-frame pixel-LSTM + super-state
+fold chain of the RAMP encoders (inference, T == 1).
+
+Why: the flax path keeps every intermediate in NHWC with 5..32 channels.
+TPU HBM tiles the minor dimension to 128 lanes, so each [H, W, C<=32]
+pass reads/writes 4-25x more bytes than the tensor holds — the measured
+~8 ms MultiScale encoder is mostly this lane-padding tax, not compute
+(STATUS round-2/3; the pure-XLA refactor `models/encoders_fused.py`
+measured SLOWER because it adds relayouts without changing the layout).
+
+This kernel runs the whole chain CHANNEL-MAJOR ([C, H*W]: minor dim = HW,
+no padding): one fused pass per scale computes both modality LSTMs (gate
+matmul on the zero-carry single step — the recurrent term vanishes
+exactly, ref extractor.py:366-385) and the two composed super-state folds
+(ref extractor.py:431-463), reading x [8, HW] + ss [h, HW] and writing
+ss' [h, HW]. Weight composition (conv_1 folding, gate interleave, fold
+composition) reuses `models/encoders_fused.py` math and is parity-tested
+in tests/test_models.py.
+
+Semantics mirrored from the reference MultiScaleMergerDoubleNet
+(/root/reference/ramp/extractor.py:431-463,468-566).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def _lstm_fold_kernel(x_ref, ss_ref, wg_ref, bg_ref, wf_ref, bf_ref, o_ref,
+                      *, h):
+    """One [*, hwb] block: gates -> i/g/o pointwise -> composed fold.
+
+    x [Cp, hwb]; ss [h, hwb]; wg [Cp, 8h] gate-interleaved (columns
+    [g*2h, g*2h+h) = event gate g, [g*2h+h, (g+1)*2h) = image gate g);
+    bg [8h, 1]; wf [3h, h] composed fold (rows [ss | ev_h | im_h]);
+    bf [h, 1]. Writes ss' [h, hwb].
+    """
+    gates = jax.lax.dot_general(
+        wg_ref[...], x_ref[...],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bg_ref[...]                       # [8h, hwb]
+    i = gates[0 * h:2 * h]
+    g = gates[4 * h:6 * h]
+    o = gates[6 * h:8 * h]
+    # zero carry: c = sigma(i) * tanh(g); forget-gate term vanishes
+    c = jax.nn.sigmoid(i) * jnp.tanh(g)
+    hcat = jax.nn.sigmoid(o) * jnp.tanh(c)             # [2h, hwb] [ev | im]
+    cat3 = jnp.concatenate(
+        [ss_ref[...].astype(jnp.float32), hcat], axis=0
+    )                                                  # [3h, hwb]
+    ss_new = jax.lax.dot_general(
+        wf_ref[...], cat3,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bf_ref[...]
+    o_ref[...] = ss_new.astype(o_ref.dtype)
+
+
+def lstm_fold_cm(x_cm, ss_cm, wg, bg, wf, bf, *, hwb: int = 512,
+                 interpret: bool = False):
+    """Channel-major fused LSTM + fold step.
+
+    x_cm [Cp, HW] (Cp a multiple of 8), ss_cm [h, HW], wg [Cp, 8h],
+    bg [8h], wf [3h, h], bf [h]. Returns ss' [h, HW] (same dtype as ss).
+    HW is padded to a multiple of `hwb` internally.
+    """
+    Cp, HW = x_cm.shape
+    h = ss_cm.shape[0]
+    assert wg.shape == (Cp, 8 * h), (wg.shape, Cp, h)
+    assert wf.shape == (3 * h, h)
+    pad = (-HW) % hwb
+    if pad:
+        x_cm = jnp.pad(x_cm, ((0, 0), (0, pad)))
+        ss_cm = jnp.pad(ss_cm, ((0, 0), (0, pad)))
+    HWp = HW + pad
+
+    out = pl.pallas_call(
+        functools.partial(_lstm_fold_kernel, h=h),
+        grid=(HWp // hwb,),
+        in_specs=[
+            pl.BlockSpec((Cp, hwb), lambda b: (0, b)),
+            pl.BlockSpec((h, hwb), lambda b: (0, b)),
+            pl.BlockSpec((Cp, 8 * h), lambda b: (0, 0)),
+            pl.BlockSpec((8 * h, 1), lambda b: (0, 0)),
+            pl.BlockSpec((3 * h, h), lambda b: (0, 0)),
+            pl.BlockSpec((h, 1), lambda b: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((h, hwb), lambda b: (0, b)),
+        out_shape=jax.ShapeDtypeStruct((h, HWp), ss_cm.dtype),
+        interpret=interpret,
+    )(x_cm, ss_cm, wg, bg.reshape(-1, 1), wf, bf.reshape(-1, 1))
+    return out[:, :HW]
+
+
+# ---------------------------------------------------------------------------
+# weight composition (reuses models/encoders_fused.py math)
+# ---------------------------------------------------------------------------
+
+def _gate_weights(pe, pi):
+    """Gate-interleaved block-diagonal LSTM input weights
+    (encoders_fused.py::_lstm_single_step without the convs)."""
+    we = pe["convlstm"]["weight_ih"]          # [Ce, 4h]
+    wi = pi["convlstm"]["weight_ih"]
+    be = pe["convlstm"]["bias_ih"] + pe["convlstm"]["bias_hh"]
+    bi = pi["convlstm"]["bias_ih"] + pi["convlstm"]["bias_hh"]
+    Ce, Ci = we.shape[0], wi.shape[0]
+    h = we.shape[1] // 4
+    we4 = we.reshape(Ce, 4, h)
+    wi4 = wi.reshape(Ci, 4, h)
+    top = jnp.concatenate([we4, jnp.zeros((Ce, 4, h), we.dtype)], axis=-1)
+    bot = jnp.concatenate([jnp.zeros((Ci, 4, h), wi.dtype), wi4], axis=-1)
+    Wg = jnp.concatenate([top, bot], axis=0).reshape(Ce + Ci, 8 * h)
+    bg = jnp.concatenate(
+        [be.reshape(4, h), bi.reshape(4, h)], axis=-1
+    ).reshape(8 * h)
+    return Wg, bg, h
+
+
+def gate_weights_scale1(pe, pi):
+    """Scale-1 gate weights with the 1x1 conv_1 folded in:
+    gates = [ev|im] @ (blockdiag(Kev, Kim) @ Wg) + (concat(bce, bci) @ Wg
+    + bg). Returns (Wg' [Ce+Ci, 8h], bg' [8h], h)."""
+    Wg, bg, h = _gate_weights(pe, pi)
+    Ke = pe["conv_1"]["kernel"][0, 0]          # [Ce, Ce]
+    Ki = pi["conv_1"]["kernel"][0, 0]
+    bce = pe["conv_1"]["bias"]
+    bci = pi["conv_1"]["bias"]
+    Ce, Ci = Ke.shape[0], Ki.shape[0]
+    K = jnp.zeros((Ce + Ci, Ce + Ci), Wg.dtype)
+    K = K.at[:Ce, :Ce].set(Ke).at[Ce:, Ce:].set(Ki)
+    Wg2 = K @ Wg
+    bg2 = jnp.concatenate([bce, bci]) @ Wg + bg
+    return Wg2, bg2, h
+
+
+def fold_weights(enc, si, m):
+    """Composed super-state fold weights (encoders_fused.py::_fused_fold):
+    Weff [3h, h] over rows [ss | ev_h | im_h], beff [h]; `m` traced bool."""
+    We = enc[f"super_state_ev_encoder_{si}_kernel"][0, 0]   # [2h, h]
+    be = enc[f"super_state_ev_encoder_{si}_bias"]
+    Wi = enc[f"super_state_im_encoders_{si}_kernel"][0, 0]
+    bi = enc[f"super_state_im_encoders_{si}_bias"]
+    h = We.shape[-1]
+    We1, We2 = We[:h], We[h:]
+    Wi1, Wi2 = Wi[:h], Wi[h:]
+    z = jnp.zeros_like(Wi2)
+    W_nm = jnp.concatenate([We1, We2, z], axis=0)
+    W_m = jnp.concatenate([We1 @ Wi1, We2 @ Wi1, Wi2], axis=0)
+    Weff = jnp.where(m, W_m, W_nm)
+    beff = jnp.where(m, be @ Wi1 + bi, be)
+    return Weff, beff
+
+
+def _cm(x):
+    """[H, W, C] -> [C, H*W] channel-major."""
+    H, W, C = x.shape
+    return x.reshape(H * W, C).T
+
+
+def pallas_multiscale_encode(enc_params, events, images, mask, state,
+                             interpret: bool = False):
+    """MultiScaleEncoder single-step forward with the channel-major kernel
+    for every scale's LSTM+fold chain; the two pyramid heads stay on the
+    standard flax path (the grouped-conv head variant measured slower).
+
+    Same contract as models.encoders_fused.fused_multiscale_encode.
+    """
+    from ..models.encoders import MultiScaleBasicEncoder4
+    from ..models.encoders_fused import SCALES, _conv
+
+    ev = events[0]
+    im = images[0]
+    m = mask.reshape(-1)[0]
+
+    new_ss = []
+    for si, s in enumerate(SCALES):
+        pe = enc_params[f"ev_encoders_{si}"]
+        pi = enc_params[f"im_encoders_{si}"]
+        if s <= 1:
+            Wg, bg, h = gate_weights_scale1(pe, pi)
+            x = jnp.concatenate([ev, im], axis=-1)
+        else:
+            ce = _conv(ev, pe["conv_1"]["kernel"], pe["conv_1"]["bias"],
+                       s, 1)
+            ci = _conv(im, pi["conv_1"]["kernel"], pi["conv_1"]["bias"],
+                       s, 1)
+            x = jnp.concatenate([ce, ci], axis=-1)
+            Wg, bg, h = _gate_weights(pe, pi)
+        Weff, beff = fold_weights(enc_params, si, m)
+
+        Hs, Ws, Cx = x.shape
+        ss0 = state["ss"][si]
+        ss_cm = lstm_fold_cm(
+            _cm(x), _cm(ss0), Wg, bg, Weff, beff, interpret=interpret
+        )
+        new_ss.append(ss_cm.T.reshape(Hs, Ws, h))
+
+    dims0 = new_ss[0].shape[-1]
+    fmap = MultiScaleBasicEncoder4(128, "instance", dims0).apply(
+        {"params": enc_params["fmap_encoder"]}, *new_ss
+    )
+    imap = MultiScaleBasicEncoder4(384, "none", dims0).apply(
+        {"params": enc_params["imap_encoder"]}, *new_ss
+    )
+    return fmap[None], imap[None], {"ss": new_ss}

@@ -44,6 +44,10 @@ class VOConfig:
     # measured +3.0 ms SLOWER than the straight flax path in-frame
     # (scripts/ab_frame_variants.py — grouped convs + gate matmul lose)
     FUSED_ENCODER: bool = False
+    # channel-major Pallas kernel for the per-scale LSTM+fold chain
+    # (ops/encoder_pallas.py) — removes the NHWC lane-padding tax on the
+    # C<=32 intermediates; heads stay flax
+    PALLAS_ENCODER: bool = False
     CORR_LAYOUT: str = "fused"
     CELL_REPROJECT: bool = True  # per-cell relative poses in reprojection
     CELL_LINEARIZE: bool = True  # per-cell linearization inside ba_infer

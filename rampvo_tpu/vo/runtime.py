@@ -583,7 +583,20 @@ def make_vo_frame(cfg: VOConfig, vonet: VONet, event_bias: bool = True,
             enc_state = jax.tree_util.tree_map(
                 lambda x: x.astype(jnp.bfloat16), enc_state
             )
-        if (cfg.FUSED_ENCODER and vonet.input_mode == "MultiScale"
+        if (cfg.PALLAS_ENCODER and vonet.input_mode == "MultiScale"
+                and events.shape[0] == 1):
+            # channel-major Pallas LSTM+fold chain (ops/encoder_pallas.py);
+            # heads stay flax; Patchifier's /4 applied here
+            from ..ops.encoder_pallas import pallas_multiscale_encode
+
+            fmap, imap, enc2 = pallas_multiscale_encode(
+                params["params"]["patchify"]["encoder"],
+                events, images, mask, enc_state,
+                interpret=cfg.CORR_IMPL == "lattice_interpret",
+            )
+            fmap = fmap / 4.0
+            imap = imap / 4.0
+        elif (cfg.FUSED_ENCODER and vonet.input_mode == "MultiScale"
                 and events.shape[0] == 1):
             # fused single-step path (models/encoders_fused.py): exact
             # same math, one gate matmul + one fold matmul per scale and
@@ -718,7 +731,17 @@ def make_encode_only(cfg: VOConfig, vonet: VONet):
     def encode_only(params, state: VOState, events, images, mask):
         events = events.astype(jnp.float32)
         images = images.astype(jnp.float32)
-        if (cfg.FUSED_ENCODER and vonet.input_mode == "MultiScale"
+        if (cfg.PALLAS_ENCODER and vonet.input_mode == "MultiScale"
+                and events.shape[0] == 1):
+            # heads are dead code here (outputs unused) — XLA DCEs them
+            from ..ops.encoder_pallas import pallas_multiscale_encode
+
+            _, _, enc2 = pallas_multiscale_encode(
+                params["params"]["patchify"]["encoder"],
+                events, images, mask, state.enc,
+                interpret=cfg.CORR_IMPL == "lattice_interpret",
+            )
+        elif (cfg.FUSED_ENCODER and vonet.input_mode == "MultiScale"
                 and events.shape[0] == 1):
             from ..models.encoders_fused import fused_multiscale_encode
 

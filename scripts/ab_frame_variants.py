@@ -28,6 +28,7 @@ BASE = dict(
 
 VARIANTS = [
     ("all-new", {}),
+    ("enc=pallas", {"PALLAS_ENCODER": True}),
     ("corr=paired", {"CORR_LAYOUT": "paired"}),
     ("corr=folded", {"CORR_LAYOUT": "folded"}),
     ("all-old", {"FUSED_ENCODER": False, "CORR_LAYOUT": "folded",

@@ -16,6 +16,13 @@ from rampvo_tpu.train import TrainForward
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--impls", type=str, default="fused,xla",
+                    help="comma list of corr impls to time in ONE process")
+    args = ap.parse_args()
+
     H, W, NF, M, STEPS = 480, 640, 15, 96, 18
     vonet = VONet(input_mode="MultiScale")
     params = vonet.init(
@@ -24,12 +31,10 @@ def main():
         jnp.zeros((1, H, W, 3)),
         jnp.asarray([True]),
     )
-    fwd = TrainForward(vonet, n_frames=NF, M=M, steps=STEPS)
     optimizer = optax.chain(
         optax.clip_by_global_norm(10.0),
         optax.adamw(1e-4, weight_decay=1e-6),
     )
-    opt_state = optimizer.init(params)
 
     rng = np.random.RandomState(0)
     B = 1
@@ -50,23 +55,28 @@ def main():
         "mask": jnp.ones((B, NF), bool),
     }
 
-    step = make_train_step(fwd, optimizer)
-    t0 = time.perf_counter()
-    params, opt_state, loss, _ = step(
-        params, opt_state, batch, jax.random.PRNGKey(1)
-    )
-    print(f"compile+first step: {time.perf_counter()-t0:.0f}s "
-          f"loss={float(loss):.3f}")
-
-    best = float("inf")
-    for _ in range(3):
+    for impl in args.impls.split(","):
+        fwd = TrainForward(vonet, n_frames=NF, M=M, steps=STEPS,
+                           corr_impl=impl)
+        step = make_train_step(fwd, optimizer)
+        # params/opt_state are donated by the step: fresh copies per impl
+        p = jax.tree_util.tree_map(jnp.copy, params)
+        opt_state = optimizer.init(p)
         t0 = time.perf_counter()
-        params, opt_state, loss, _ = step(
-            params, opt_state, batch, jax.random.PRNGKey(2)
-        )
-        float(loss)
-        best = min(best, time.perf_counter() - t0)
-    print(f"train step: {best:.2f} s  (full-res 480x640, {STEPS}-step unroll)")
+        p, opt_state, loss, _ = step(p, opt_state, batch, jax.random.PRNGKey(1))
+        print(f"[{impl}] compile+first step: {time.perf_counter()-t0:.0f}s "
+              f"loss={float(loss):.3f}", flush=True)
+
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            p, opt_state, loss, _ = step(
+                p, opt_state, batch, jax.random.PRNGKey(2)
+            )
+            float(loss)
+            best = min(best, time.perf_counter() - t0)
+        print(f"[{impl}] train step: {best:.2f} s  "
+              f"(full-res 480x640, {STEPS}-step unroll)", flush=True)
 
 
 if __name__ == "__main__":

@@ -160,6 +160,33 @@ class TestEncoders:
         for a, b in zip(s1["ss"], s2["ss"]):
             assert float(jnp.abs(a - b).max()) < 1e-5
 
+    @pytest.mark.parametrize("mval", [True, False])
+    def test_pallas_encode_matches_multiscale(self, mval):
+        """The channel-major Pallas LSTM+fold path
+        (ops/encoder_pallas.py, interpret mode on CPU) must reproduce
+        MultiScaleEncoder at T=1."""
+        from rampvo_tpu.ops.encoder_pallas import pallas_multiscale_encode
+
+        ev = jnp.asarray(np.random.RandomState(0).rand(1, H, W, 5),
+                         jnp.float32)
+        im = jnp.asarray(np.random.RandomState(1).rand(1, H, W, 3),
+                         jnp.float32)
+        st = MultiScaleEncoder.init_state(H, W)
+        st = jax.tree_util.tree_map(lambda x: x + 0.1, st)
+        m = MultiScaleEncoder()
+        params = m.init(jax.random.PRNGKey(0), ev, im, jnp.asarray([True]),
+                        st, 1)
+        mask = jnp.asarray([mval])
+        f1, i1, s1 = m.apply(params, ev, im, mask, st, 1)
+        f2, i2, s2 = pallas_multiscale_encode(
+            params["params"], ev, im, mask, st, interpret=True
+        )
+        assert f2.shape == f1.shape and i2.shape == i1.shape
+        assert float(jnp.abs(f1 - f2).max()) < 1e-4
+        assert float(jnp.abs(i1 - i2).max()) < 1e-4
+        for a, b in zip(s1["ss"], s2["ss"]):
+            assert float(jnp.abs(a - b).max()) < 1e-5
+
 
 class TestUpdate:
     def _setup(self, E=24, Ecap=None):
