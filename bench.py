@@ -25,6 +25,20 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
     import jax
+
+    # the shared-TPU axon backend occasionally fails to initialize
+    # (UNAVAILABLE); retry a few times before giving up so a transient
+    # flake doesn't void the benchmark run
+    for attempt in range(5):
+        try:
+            jax.devices()
+            break
+        except RuntimeError as e:
+            if attempt == 4:
+                raise
+            print(f"backend init failed ({e}); retry {attempt + 1}/4",
+                  file=sys.stderr)
+            time.sleep(60)
     import jax.numpy as jnp
     import numpy as np
 
