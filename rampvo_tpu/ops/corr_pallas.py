@@ -754,10 +754,11 @@ def _kernel_lat_fused(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref, out_ref,
     Two structural changes vs _kernel_lat_compact:
 
       * the 2*GANG*PP per-window rolls become per-level BINARY ROLL passes:
-        the window offsets ride a [GANG*PP, TY*TX] broadcast int scratch
-        (filled by GANG*PP scalar splat-stores from SMEM) and 8 static
-        roll+select passes align ALL windows at once — O(8) big VPU ops
-        instead of O(GANG*PP) tiny slice/roll/store chains;
+        the window offsets ride a [GANG*PP, 1] int COLUMN scratch (filled
+        by GANG*PP 4-byte scalar stores from SMEM, lane-broadcast by the
+        select) and 8 static roll+select passes align ALL windows at once —
+        O(8) big VPU ops instead of O(GANG*PP) tiny slice/roll/store
+        chains; the dot-map staging round-trip runs in bf16;
       * fx/fy/ok pack into the SAME per-window SMEM scalar
         (off | fx10<<8 | fy10<<18 | ok<<28) so the blend runs in-kernel as
         three lane rolls on the compacted [GANG*PP, 64] block — NO extra
@@ -820,7 +821,7 @@ def _kernel_lat_fused(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref, out_ref,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [GANG*PP, GANG*2*TY*TX]
-            dmt_scratch[...] = dmt
+            dmt_scratch[...] = dmt.astype(dmt_scratch.dtype)
 
             for u in range(GANG):
                 e = i * GANG + u
@@ -832,27 +833,26 @@ def _kernel_lat_fused(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref, out_ref,
                     for q in range(PP):
                         v = scal_ref[0, 0, e, 4 + lvl * PP + q]
                         vi[pl.ds(u * PP + q, 1), :] = jnp.full(
-                            (1, TY * TX), v, jnp.int32
+                            (1, 1), v, jnp.int32
                         )
 
             outs = []
             for rs, vi in ((rs0, vi0), (rs1, vi1)):
                 r_ = rs[...]
-                v_ = vi[...]
+                v_ = vi[...]                 # [GANG*PP, 1] lane-broadcast
                 off = v_ & 255
                 for bit in range(8):
                     # left-roll by 2^bit == right-roll by size - 2^bit
                     rolled = pltpu.roll(r_, TY * TX - (1 << bit), 1)
                     r_ = jnp.where(((off >> bit) & 1) == 1, rolled, r_)
                 c = jax.lax.dot_general(
-                    r_[:, : D * TX], S,
+                    r_[:, : D * TX], S.astype(r_.dtype),
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # [GANG*PP, 64]
-                v64 = v_[:, :64]
-                fx = ((v64 >> 8) & 1023).astype(jnp.float32) * (1.0 / 1024.0)
-                fy = ((v64 >> 18) & 1023).astype(jnp.float32) * (1.0 / 1024.0)
-                okm = ((v64 >> 28) & 1).astype(jnp.float32)
+                fx = ((v_ >> 8) & 1023).astype(jnp.float32) * (1.0 / 1024.0)
+                fy = ((v_ >> 18) & 1023).astype(jnp.float32) * (1.0 / 1024.0)
+                okm = ((v_ >> 28) & 1).astype(jnp.float32)
                 out_l = okm * (
                     (1 - fy) * (1 - fx) * c
                     + (1 - fy) * fx * pltpu.roll(c, 63, 1)
@@ -1567,11 +1567,15 @@ def corr_lattice_fused(
                 pltpu.VMEM((Hp1, Wp1, C), fmap1.dtype),
                 pltpu.VMEM((Hp2, Wp2, C), fmap2.dtype),
                 pltpu.VMEM((GANG * 2 * TY * TX, C), fmap1.dtype),
-                pltpu.VMEM((GANG * PP, GANG * 2 * TY * TX), jnp.float32),
-                pltpu.VMEM((GANG * PP, TY * TX), jnp.float32),
-                pltpu.VMEM((GANG * PP, TY * TX), jnp.float32),
-                pltpu.VMEM((GANG * PP, TY * TX), jnp.int32),
-                pltpu.VMEM((GANG * PP, TY * TX), jnp.int32),
+                # bf16 staging: the dot-map round-trip is the kernel's
+                # largest VMEM traffic; corr values tolerate bf16 (the
+                # update net consumes them in bf16 anyway)
+                pltpu.VMEM((GANG * PP, GANG * 2 * TY * TX), jnp.bfloat16),
+                pltpu.VMEM((GANG * PP, TY * TX), jnp.bfloat16),
+                pltpu.VMEM((GANG * PP, TY * TX), jnp.bfloat16),
+                # per-window packed scalars as 1-lane columns
+                pltpu.VMEM((GANG * PP, 1), jnp.int32),
+                pltpu.VMEM((GANG * PP, 1), jnp.int32),
                 pltpu.SMEM((1,), jnp.int32),
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
@@ -1694,7 +1698,7 @@ def _kernel_sched_fused(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref, out_ref,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        dmt_scratch[...] = dmt
+        dmt_scratch[...] = dmt.astype(dmt_scratch.dtype)
 
         for u in range(GANG):
             e = i * GANG + u
@@ -1706,26 +1710,25 @@ def _kernel_sched_fused(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref, out_ref,
                 for q in range(PP):
                     v = scal_ref[0, e, 4 + lvl * PP + q]
                     vi[pl.ds(u * PP + q, 1), :] = jnp.full(
-                        (1, TY * TX), v, jnp.int32
+                        (1, 1), v, jnp.int32
                     )
 
         outs = []
         for rs, vi in ((rs0, vi0), (rs1, vi1)):
             r_ = rs[...]
-            v_ = vi[...]
+            v_ = vi[...]                 # [GANG*PP, 1] lane-broadcast
             off = v_ & 255
             for bit in range(8):
                 rolled = pltpu.roll(r_, TY * TX - (1 << bit), 1)
                 r_ = jnp.where(((off >> bit) & 1) == 1, rolled, r_)
             c = jax.lax.dot_general(
-                r_[:, : D * TX], S,
+                r_[:, : D * TX], S.astype(r_.dtype),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            v64 = v_[:, :64]
-            fx = ((v64 >> 8) & 1023).astype(jnp.float32) * (1.0 / 1024.0)
-            fy = ((v64 >> 18) & 1023).astype(jnp.float32) * (1.0 / 1024.0)
-            okm = ((v64 >> 28) & 1).astype(jnp.float32)
+            fx = ((v_ >> 8) & 1023).astype(jnp.float32) * (1.0 / 1024.0)
+            fy = ((v_ >> 18) & 1023).astype(jnp.float32) * (1.0 / 1024.0)
+            okm = ((v_ >> 28) & 1).astype(jnp.float32)
             out_l = okm * (
                 (1 - fy) * (1 - fx) * c
                 + (1 - fy) * fx * pltpu.roll(c, 63, 1)
@@ -1812,11 +1815,13 @@ def corr_sched_fused(gmap, fmap1, fmap2, coords, kk, src, inv, tabs,
                 pltpu.VMEM((Hp1, Wp1, C), jnp.bfloat16),
                 pltpu.VMEM((Hp2, Wp2, C), jnp.bfloat16),
                 pltpu.VMEM((GANG * 2 * TY * TX, C), jnp.bfloat16),
-                pltpu.VMEM((GANG * PP, GANG * 2 * TY * TX), jnp.float32),
-                pltpu.VMEM((GANG * PP, TY * TX), jnp.float32),
-                pltpu.VMEM((GANG * PP, TY * TX), jnp.float32),
-                pltpu.VMEM((GANG * PP, TY * TX), jnp.int32),
-                pltpu.VMEM((GANG * PP, TY * TX), jnp.int32),
+                # bf16 staging + 1-lane scalar columns (see
+                # _kernel_lat_fused scratch notes)
+                pltpu.VMEM((GANG * PP, GANG * 2 * TY * TX), jnp.bfloat16),
+                pltpu.VMEM((GANG * PP, TY * TX), jnp.bfloat16),
+                pltpu.VMEM((GANG * PP, TY * TX), jnp.bfloat16),
+                pltpu.VMEM((GANG * PP, 1), jnp.int32),
+                pltpu.VMEM((GANG * PP, 1), jnp.int32),
                 pltpu.SMEM((1,), jnp.int32),
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
