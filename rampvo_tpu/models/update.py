@@ -54,7 +54,19 @@ class Update(nn.Module):
         def c2(x):
             return nn.Dense(DIM, name="c2_fc2")(nn.relu(nn.Dense(DIM, name="c2_fc1")(x)))
 
-        net = net + inp + corr_mlp(corr)
+        if lattice is not None and inp.shape[0] != net.shape[0]:
+            # lattice ctx arrives t-compressed as [NI*M, D] (it is
+            # t-invariant: edge (i, t, m) reads patch (host_i, m)'s imap);
+            # broadcast along T inside this add — no [E, D] gather
+            NI_, T_, M_ = lattice
+            assert inp.shape[0] == NI_ * M_, (inp.shape, lattice)
+            net = (
+                net.reshape(NI_, T_, M_, -1)
+                + inp.reshape(NI_, 1, M_, -1)
+                + corr_mlp(corr).reshape(NI_, T_, M_, -1)
+            ).reshape(net.shape[0], -1)
+        else:
+            net = net + inp + corr_mlp(corr)
         net = ln("norm")(net)
 
         if lattice is not None and lattice_contig:

@@ -254,8 +254,13 @@ def _edge_corr_ctx_lattice(cfg: VOConfig, state: VOState, ii, jj, kk):
             prepadded=True, hw=(h4, w4, h4 // 4, w4 // 4), folded=True,
         )
 
-    slot_k = state.slotmap[jnp.clip(kk // M, 0, L - 1)]
-    gidx = jnp.clip(slot_k, 0, MEM - 1) * M + kk % M
+    # ctx is t-invariant on the lattice (edge (i, t, m) reads patch
+    # (host_i, m)'s imap): gather only the [NI*M] rows and let the update
+    # net broadcast along T inside its first add — the full [E, 384]
+    # gather was ~1.5 ms of pure HBM gather traffic per update
+    kk_rows = kk.reshape(NI, T, M)[:, 0, :].reshape(-1)   # [NI*M]
+    slot_k = state.slotmap[jnp.clip(kk_rows // M, 0, L - 1)]
+    gidx = jnp.clip(slot_k, 0, MEM - 1) * M + kk_rows % M
     ctx = state.imap_r.reshape(MEM * M, -1)[gidx].astype(jnp.float32)
     return coords, corr_in, ctx
 
