@@ -28,6 +28,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def _lstm_fold_kernel(x_ref, ss_ref, wg_ref, bg_ref, wf_ref, bf_ref, o_ref,
@@ -160,6 +161,229 @@ def _cm(x):
     """[H, W, C] -> [C, H*W] channel-major."""
     H, W, C = x.shape
     return x.reshape(H * W, C).T
+
+
+# ---------------------------------------------------------------------------
+# SingleScale: carried LSTM step + shared presence-gated folds
+# (ref: extractor.py:187-269 — MergerLSTMsceneEncoder)
+# ---------------------------------------------------------------------------
+
+def _lstm_carry_fold_kernel(x_ref, hc_ref, ss_ref, wg_ref, wh_ref, bg_ref,
+                            wf_ref, bf_ref, pres_ref, oss_ref, ohc_ref,
+                            *, hp):
+    """One [*, hwb] block of the carried SingleScale step.
+
+    x [Cp, hwb]; hc [4hp, hwb] rows [h_ev | h_im | c_ev | c_im];
+    ss [hp, hwb]; wg [Cp, 8hp] gate-interleaved; wh [2hp, 8hp] recurrent
+    (rows [h_ev | h_im]); bg [8hp, 1]; wf [2hp, hp] shared fold (rows
+    [ss | data]); bf [hp, 1]; pres [1, 2] SMEM presence flags.
+    Writes ss' [hp, hwb] and hc' [4hp, hwb]."""
+    hcat = hc_ref[0:2 * hp]
+    ccat = hc_ref[2 * hp:4 * hp].astype(jnp.float32)
+    gates = jax.lax.dot_general(
+        wg_ref[...], x_ref[...],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        wh_ref[...], hcat,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bg_ref[...]
+    i = gates[0:2 * hp]
+    f = gates[2 * hp:4 * hp]
+    g = gates[4 * hp:6 * hp]
+    o = gates[6 * hp:8 * hp]
+    c_new = jax.nn.sigmoid(f) * ccat + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+
+    ss = ss_ref[...].astype(jnp.float32)
+    p_ev = pres_ref[0, 0]
+    p_im = pres_ref[0, 1]
+
+    def fold(ss_cur, data):
+        cat = jnp.concatenate([ss_cur, data], axis=0)      # [2hp, hwb]
+        return jax.lax.dot_general(
+            wf_ref[...], cat,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bf_ref[...]
+
+    ss1 = jnp.where(p_ev > 0, fold(ss, h_new[0:hp]), ss)
+    ss2 = jnp.where(p_im > 0, fold(ss1, h_new[hp:2 * hp]), ss1)
+    oss_ref[...] = ss2.astype(oss_ref.dtype)
+    ohc_ref[...] = jnp.concatenate([h_new, c_new], axis=0).astype(
+        ohc_ref.dtype
+    )
+
+
+def lstm_carry_fold_cm(x_cm, hc_cm, ss_cm, wg, wh, bg, wf, bf, pres, *,
+                       hwb: int = 512, interpret: bool = False):
+    """Channel-major carried LSTM + shared-fold step (SingleScale, T=1).
+
+    x_cm [Cp, HW]; hc_cm [4hp, HW]; ss_cm [hp, HW]; wg [Cp, 8hp];
+    wh [2hp, 8hp]; bg [8hp]; wf [2hp, hp]; bf [hp]; pres [2] int32.
+    Returns (ss' [hp, HW], hc' [4hp, HW])."""
+    Cp, HW = x_cm.shape
+    hp = ss_cm.shape[0]
+    assert wg.shape == (Cp, 8 * hp) and wh.shape == (2 * hp, 8 * hp)
+    assert wf.shape == (2 * hp, hp)
+    pad = (-HW) % hwb
+    if pad:
+        x_cm = jnp.pad(x_cm, ((0, 0), (0, pad)))
+        hc_cm = jnp.pad(hc_cm, ((0, 0), (0, pad)))
+        ss_cm = jnp.pad(ss_cm, ((0, 0), (0, pad)))
+    HWp = HW + pad
+
+    oss, ohc = pl.pallas_call(
+        functools.partial(_lstm_carry_fold_kernel, hp=hp),
+        grid=(HWp // hwb,),
+        in_specs=[
+            pl.BlockSpec((Cp, hwb), lambda b: (0, b)),
+            pl.BlockSpec((4 * hp, hwb), lambda b: (0, b)),
+            pl.BlockSpec((hp, hwb), lambda b: (0, b)),
+            pl.BlockSpec((Cp, 8 * hp), lambda b: (0, 0)),
+            pl.BlockSpec((2 * hp, 8 * hp), lambda b: (0, 0)),
+            pl.BlockSpec((8 * hp, 1), lambda b: (0, 0)),
+            pl.BlockSpec((2 * hp, hp), lambda b: (0, 0)),
+            pl.BlockSpec((hp, 1), lambda b: (0, 0)),
+            pl.BlockSpec((1, 2), lambda b: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((hp, hwb), lambda b: (0, b)),
+            pl.BlockSpec((4 * hp, hwb), lambda b: (0, b)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((hp, HWp), ss_cm.dtype),
+            jax.ShapeDtypeStruct((4 * hp, HWp), hc_cm.dtype),
+        ],
+        interpret=interpret,
+    )(x_cm, hc_cm, ss_cm, wg, wh, bg.reshape(-1, 1), wf,
+      bf.reshape(-1, 1), pres.reshape(1, 2).astype(jnp.int32))
+    return oss[:, :HW], ohc[:, :HW]
+
+
+def _pad_gates(w4, hp):
+    """[..., 4, h] -> [..., 4, hp] zero-padded per gate."""
+    h = w4.shape[-1]
+    return jnp.pad(w4, [(0, 0)] * (w4.ndim - 1) + [(0, hp - h)])
+
+
+def singlescale_gate_weights(pe, pi, hp):
+    """Interleaved+padded gate weights for the carried kernel.
+
+    pe/pi: events_convlstm / image_convlstm param subtrees (torch gate
+    order i,f,g,o — encoders.py:PixelLSTM). Returns wg [Ce+Ci, 8hp],
+    wh [2hp, 8hp], bg [8hp]: gate g occupies columns [g*2hp, (g+1)*2hp)
+    with the event half first."""
+    we, wi = pe["weight_ih"], pi["weight_ih"]
+    Ce, Ci = we.shape[0], wi.shape[0]
+    h = we.shape[1] // 4
+    we4 = _pad_gates(we.reshape(Ce, 4, h), hp)
+    wi4 = _pad_gates(wi.reshape(Ci, 4, h), hp)
+    z = jnp.zeros_like
+    wg = jnp.concatenate([
+        jnp.concatenate([we4, z(we4)], axis=-1),
+        jnp.concatenate([z(wi4), wi4], axis=-1),
+    ], axis=0).reshape(Ce + Ci, 8 * hp)
+
+    def pad_hh(w):
+        w4 = _pad_gates(w.reshape(h, 4, h), hp)        # [h, 4, hp]
+        return jnp.pad(w4, [(0, hp - h), (0, 0), (0, 0)])
+
+    he4, hi4 = pad_hh(pe["weight_hh"]), pad_hh(pi["weight_hh"])
+    wh = jnp.concatenate([
+        jnp.concatenate([he4, z(he4)], axis=-1),
+        jnp.concatenate([z(hi4), hi4], axis=-1),
+    ], axis=0).reshape(2 * hp, 8 * hp)
+
+    be = _pad_gates(
+        (pe["bias_ih"] + pe["bias_hh"]).reshape(4, h), hp
+    )
+    bi = _pad_gates(
+        (pi["bias_ih"] + pi["bias_hh"]).reshape(4, h), hp
+    )
+    bg = jnp.concatenate([be, bi], axis=-1).reshape(8 * hp)
+    return wg, wh, bg
+
+
+def singlescale_fold_weights(enc, hp):
+    """Shared super-state fold (concat(ss, data) @ W + b) padded to hp
+    per half: wf [2hp, hp], bf [hp]."""
+    W = enc["superstate_encoder_kernel"][0, 0]          # [2h, h]
+    b = enc["superstate_encoder_bias"]
+    h = W.shape[-1]
+    Wc = jnp.pad(W, ((0, 0), (0, hp - h)))
+    wf = jnp.concatenate([
+        jnp.pad(Wc[:h], ((0, hp - h), (0, 0))),
+        jnp.pad(Wc[h:], ((0, hp - h), (0, 0))),
+    ], axis=0)
+    return wf, jnp.pad(b, (0, hp - h))
+
+
+def singlescale_init_state_cm(H, W, lstm_dim=15, dtype=jnp.float32):
+    """Channel-major persistent state for `pallas_singlescale_encode`."""
+    hp = lstm_dim + (-lstm_dim) % 8
+    return {
+        "hc": jnp.zeros((4 * hp, H * W), dtype),
+        "ss": jnp.zeros((hp, H * W), dtype),
+    }
+
+
+def singlescale_state_to_cm(state, lstm_dim=15):
+    """NHWC SingleScaleEncoder state -> channel-major (tests/migration)."""
+    hp = lstm_dim + (-lstm_dim) % 8
+    p = lambda x: jnp.pad(_cm(x), ((0, hp - x.shape[-1]), (0, 0)))
+    return {
+        "hc": jnp.concatenate(
+            [p(state["ev"][0]), p(state["im"][0]),
+             p(state["ev"][1]), p(state["im"][1])], axis=0
+        ),
+        "ss": p(state["ss"]),
+    }
+
+
+def pallas_singlescale_encode(enc_params, events, images, state_cm,
+                              interpret: bool = False):
+    """SingleScaleEncoder single-step forward (T == 1) with the carried
+    channel-major kernel; BasicEncoder4 heads stay flax.
+
+    enc_params: the encoder param subtree; events [1, H, W, Ce];
+    images [1, H, W, Ci]; state_cm from `singlescale_init_state_cm`.
+    Returns (fmap [1, H/4, W/4, 128], imap [1, ..., 384], new state_cm).
+
+    Semantics: ref extractor.py:187-269 (carried pixel LSTMs, shared
+    presence-gated fold — a modality that is all-zero is skipped)."""
+    from ..models.encoders import BasicEncoder4
+
+    ev = events[0]
+    im = images[0]
+    H, W = ev.shape[0], ev.shape[1]
+    h = enc_params["events_convlstm"]["weight_ih"].shape[1] // 4
+    hp = h + (-h) % 8
+
+    wg, wh, bg = singlescale_gate_weights(
+        enc_params["events_convlstm"], enc_params["image_convlstm"], hp
+    )
+    wf, bf = singlescale_fold_weights(enc_params, hp)
+    pres = jnp.stack(
+        [jnp.any(ev != 0), jnp.any(im != 0)]
+    ).astype(jnp.int32)
+
+    x = jnp.concatenate([ev, im], axis=-1)
+    ss, hc = lstm_carry_fold_cm(
+        _cm(x), state_cm["hc"], state_cm["ss"], wg, wh, bg, wf, bf, pres,
+        interpret=interpret,
+    )
+
+    ss_nhwc = ss[:h].T.reshape(1, H, W, h)
+    fmap = BasicEncoder4(128, "instance", h).apply(
+        {"params": enc_params["fmap_encoder"]}, ss_nhwc
+    )
+    imap = BasicEncoder4(384, "none", h).apply(
+        {"params": enc_params["imap_encoder"]}, ss_nhwc
+    )
+    return fmap, imap, {"hc": hc, "ss": ss}
 
 
 def pallas_multiscale_encode(enc_params, events, images, mask, state,

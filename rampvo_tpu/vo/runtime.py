@@ -597,7 +597,20 @@ def make_vo_frame(cfg: VOConfig, vonet: VONet, event_bias: bool = True,
             fmap, imap, enc2 = pallas_multiscale_encode(
                 params["params"]["patchify"]["encoder"],
                 events, images, mask, enc_state,
-                interpret=cfg.CORR_IMPL == "lattice_interpret",
+                interpret=jax.default_backend() != "tpu",
+            )
+            fmap = fmap / 4.0
+            imap = imap / 4.0
+        elif (cfg.PALLAS_ENCODER and vonet.input_mode == "SingleScale"
+                and events.shape[0] == 1):
+            # carried channel-major kernel; enc_state is the CM form
+            # (ops/encoder_pallas.singlescale_init_state_cm)
+            from ..ops.encoder_pallas import pallas_singlescale_encode
+
+            fmap, imap, enc2 = pallas_singlescale_encode(
+                params["params"]["patchify"]["encoder"],
+                events, images, enc_state,
+                interpret=jax.default_backend() != "tpu",
             )
             fmap = fmap / 4.0
             imap = imap / 4.0
@@ -744,7 +757,16 @@ def make_encode_only(cfg: VOConfig, vonet: VONet):
             _, _, enc2 = pallas_multiscale_encode(
                 params["params"]["patchify"]["encoder"],
                 events, images, mask, state.enc,
-                interpret=cfg.CORR_IMPL == "lattice_interpret",
+                interpret=jax.default_backend() != "tpu",
+            )
+        elif (cfg.PALLAS_ENCODER and vonet.input_mode == "SingleScale"
+                and events.shape[0] == 1):
+            from ..ops.encoder_pallas import pallas_singlescale_encode
+
+            _, _, enc2 = pallas_singlescale_encode(
+                params["params"]["patchify"]["encoder"],
+                events, images, state.enc,
+                interpret=jax.default_backend() != "tpu",
             )
         elif (cfg.FUSED_ENCODER and vonet.input_mode == "MultiScale"
                 and events.shape[0] == 1):
@@ -810,7 +832,12 @@ class RampVO:
         self._pp_models = None
 
         if input_mode == "SingleScale":
-            enc_state = SingleScaleEncoder.init_state(ht, wd)
+            if cfg.PALLAS_ENCODER:
+                from ..ops.encoder_pallas import singlescale_init_state_cm
+
+                enc_state = singlescale_init_state_cm(ht, wd)
+            else:
+                enc_state = SingleScaleEncoder.init_state(ht, wd)
         else:
             enc_state = MultiScaleEncoder.init_state(ht, wd)
         self.state = init_state(cfg, enc_state, ht, wd)

@@ -187,6 +187,43 @@ class TestEncoders:
         for a, b in zip(s1["ss"], s2["ss"]):
             assert float(jnp.abs(a - b).max()) < 1e-5
 
+    @pytest.mark.parametrize("zero_ev", [False, True])
+    def test_pallas_singlescale_matches_flax(self, zero_ev):
+        """The carried channel-major kernel (interpret mode) must
+        reproduce SingleScaleEncoder at T=1, including the presence gate
+        and the carry evolution over two steps."""
+        from rampvo_tpu.models.encoders import SingleScaleEncoder
+        from rampvo_tpu.ops.encoder_pallas import (
+            pallas_singlescale_encode,
+            singlescale_state_to_cm,
+        )
+
+        rng = np.random.RandomState(0)
+        ev = jnp.asarray(rng.rand(1, H, W, 5), jnp.float32)
+        if zero_ev:
+            ev = jnp.zeros_like(ev)
+        im = jnp.asarray(rng.rand(1, H, W, 3), jnp.float32)
+        m = SingleScaleEncoder()
+        params = m.init(jax.random.PRNGKey(0), ev, im)
+        st = SingleScaleEncoder.init_state(H, W)
+        st_cm = singlescale_state_to_cm(st)
+
+        for step in range(2):
+            f1, i1, st = m.apply(params, ev, im, st)
+            f2, i2, st_cm = pallas_singlescale_encode(
+                params["params"], ev, im, st_cm, interpret=True
+            )
+            assert float(jnp.abs(f1 - f2).max()) < 1e-4, step
+            assert float(jnp.abs(i1 - i2).max()) < 1e-4, step
+            from rampvo_tpu.ops.encoder_pallas import (
+                singlescale_state_to_cm as to_cm,
+            )
+            ref_cm = to_cm(st)
+            for k in ("hc", "ss"):
+                assert float(
+                    jnp.abs(ref_cm[k] - st_cm[k]).max()
+                ) < 1e-4, (step, k)
+
 
 class TestUpdate:
     def _setup(self, E=24, Ecap=None):
