@@ -152,6 +152,34 @@ class TestRuntimeSmoke:
         qn = np.linalg.norm(poses[:, 3:], axis=-1)
         np.testing.assert_allclose(qn, 1.0, atol=1e-3)
 
+    def test_singlescale_pallas_encoder_runtime(self):
+        """SingleScale + PALLAS_ENCODER: the CM encoder state flows through
+        both vo_frame and the events-only encode_only path."""
+        import dataclasses
+
+        from rampvo_tpu.vo.runtime import RampVO
+
+        cfg = dataclasses.replace(CFG, PALLAS_ENCODER=True)
+        slam = RampVO(cfg, None, input_mode="SingleScale", ht=H, wd=W)
+        slam.params = slam.vonet.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, H, W, 5)),
+            jnp.zeros((1, H, W, 3)), jnp.asarray([True]),
+        )
+        evs, ims = make_frames(3, seed=3)
+        K = np.asarray([100.0, 100.0, W / 2, H / 2])
+        slam(0, jnp.asarray(evs[0]), jnp.asarray(ims[0]),
+             np.asarray([True]), K)
+        ss0 = np.asarray(slam.state.enc["ss"])
+        # events-only frame: encoder state advances, no commit
+        slam(1, jnp.asarray(evs[1]), jnp.asarray(ims[1]),
+             np.asarray([False]), K)
+        assert int(slam.state.counter) == 1
+        assert not np.allclose(np.asarray(slam.state.enc["ss"]), ss0)
+        slam(2, jnp.asarray(evs[2]), jnp.asarray(ims[2]),
+             np.asarray([True]), K)
+        assert int(slam.state.counter) == 2
+        assert np.all(np.isfinite(np.asarray(slam.state.enc["ss"])))
+
     def test_events_only_frame_updates_encoder_only(self, slam):
         st_before = slam.state
         n0, c0 = int(st_before.n), int(st_before.counter)
