@@ -393,6 +393,9 @@ def pallas_multiscale_encode(enc_params, events, images, mask, state,
     standard flax path (the grouped-conv head variant measured slower).
 
     Same contract as models.encoders_fused.fused_multiscale_encode.
+    `state["ss"]` entries may be NHWC [H, W, h] (standard) or
+    channel-major [h, H*W] (as returned by this function with
+    `cm_state=True`); the returned state matches the input form.
     """
     from ..models.encoders import MultiScaleBasicEncoder4
     from ..models.encoders_fused import SCALES, _conv
@@ -402,6 +405,8 @@ def pallas_multiscale_encode(enc_params, events, images, mask, state,
     m = mask.reshape(-1)[0]
 
     new_ss = []
+    new_ss_nhwc = []
+    cm_state = state["ss"][0].ndim == 2
     for si, s in enumerate(SCALES):
         pe = enc_params[f"ev_encoders_{si}"]
         pi = enc_params[f"im_encoders_{si}"]
@@ -419,16 +424,29 @@ def pallas_multiscale_encode(enc_params, events, images, mask, state,
 
         Hs, Ws, Cx = x.shape
         ss0 = state["ss"][si]
+        ss0_cm = ss0 if cm_state else _cm(ss0)
         ss_cm = lstm_fold_cm(
-            _cm(x), _cm(ss0), Wg, bg, Weff, beff, interpret=interpret
+            _cm(x), ss0_cm, Wg, bg, Weff, beff, interpret=interpret
         )
-        new_ss.append(ss_cm.T.reshape(Hs, Ws, h))
+        new_ss.append(ss_cm if cm_state else ss_cm.T.reshape(Hs, Ws, h))
+        new_ss_nhwc.append(ss_cm.T.reshape(Hs, Ws, h))
 
-    dims0 = new_ss[0].shape[-1]
+    dims0 = new_ss_nhwc[0].shape[-1]
     fmap = MultiScaleBasicEncoder4(128, "instance", dims0).apply(
-        {"params": enc_params["fmap_encoder"]}, *new_ss
+        {"params": enc_params["fmap_encoder"]}, *new_ss_nhwc
     )
     imap = MultiScaleBasicEncoder4(384, "none", dims0).apply(
-        {"params": enc_params["imap_encoder"]}, *new_ss
+        {"params": enc_params["imap_encoder"]}, *new_ss_nhwc
     )
     return fmap[None], imap[None], {"ss": new_ss}
+
+
+def multiscale_init_state_cm(H, W, lstm_dim=16, scales=(1, 2, 4),
+                             dtype=jnp.float32):
+    """Channel-major persistent ss state for `pallas_multiscale_encode`."""
+    ss = []
+    for s in scales:
+        Hs = (H + 2 - (s + 1)) // s + 1 if s > 1 else H
+        Ws = (W + 2 - (s + 1)) // s + 1 if s > 1 else W
+        ss.append(jnp.zeros((lstm_dim * s, Hs * Ws), dtype))
+    return {"ss": ss}

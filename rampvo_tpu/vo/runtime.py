@@ -839,7 +839,12 @@ class RampVO:
             else:
                 enc_state = SingleScaleEncoder.init_state(ht, wd)
         else:
-            enc_state = MultiScaleEncoder.init_state(ht, wd)
+            if cfg.PALLAS_ENCODER:
+                from ..ops.encoder_pallas import multiscale_init_state_cm
+
+                enc_state = multiscale_init_state_cm(ht, wd)
+            else:
+                enc_state = MultiScaleEncoder.init_state(ht, wd)
         self.state = init_state(cfg, enc_state, ht, wd)
         if seed:
             import jax as _jax
