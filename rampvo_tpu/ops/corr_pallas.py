@@ -1839,6 +1839,244 @@ def corr_sched_fused(gmap, fmap1, fmap2, coords, kk, src, inv, tabs,
     return jnp.take(out.reshape(E_pad, PP * 128), inv, axis=0)
 
 
+def _kernel_sched_bwd(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref, ct_ref,
+                      gg_ref, gf1_ref, gf2_ref,
+                      scratch1, scratch2, tile_scratch, gv0, gv1, vi0, vi1,
+                      last_slot, sem1, sem2, *, C, PP, D, E_BLK):
+    """Backward of `_kernel_sched_fused`: same grid/schedule; per gang it
+    rebuilds each edge-level's raw-tile gradient gv by transposing the
+    in-kernel blend (3 lane rolls), compaction (S^T matmul) and binary-roll
+    alignment, then
+
+      grad_gmap[e]  = gv_e [PP, TY*TX] @ tile_e [TY*TX, C]
+      grad_fmap    += gv_e^T-contracted with g_e into the fmap-grad OUTPUT
+                      block at the tile offset (Pallas output revisiting
+                      keeps the per-slot accumulator in VMEM; the block is
+                      zeroed on slot entry and written back on slot change)
+
+    Output gradients for slots absent from the schedule are uninitialized;
+    the caller masks them with the (static) touched-slot set."""
+    b = pl.program_id(0)
+    slot = tabs[b]
+
+    @pl.when(b == 0)
+    def _init():
+        last_slot[0] = -1
+
+    @pl.when(slot != last_slot[0])
+    def _load():
+        cp1 = pltpu.make_async_copy(fmap1_hbm.at[slot], scratch1, sem1)
+        cp2 = pltpu.make_async_copy(fmap2_hbm.at[slot], scratch2, sem2)
+        cp1.start()
+        cp2.start()
+        cp1.wait()
+        cp2.wait()
+        last_slot[0] = slot
+        # fresh slot: zero the fmap-grad accumulator blocks
+        gf1_ref[...] = jnp.zeros_like(gf1_ref)
+        gf2_ref[...] = jnp.zeros_like(gf2_ref)
+
+    rowid = jax.lax.broadcasted_iota(jnp.int32, (D * TX, 64), 0)
+    outid = jax.lax.broadcasted_iota(jnp.int32, (D * TX, 64), 1)
+    S = (
+        (rowid // TX == outid // 8) & (rowid % TX == outid % 8)
+    ).astype(jnp.bfloat16)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (GANG * PP, 64), 1)
+    good = (((lane // 8) < D - 1) & ((lane % 8) < D - 1)).astype(
+        jnp.float32
+    )
+
+    def edge_gang(i, carry):
+        for u in range(GANG):
+            e = i * GANG + u
+            for lvl, scratch in ((0, scratch1), (1, scratch2)):
+                tile = scratch[
+                    pl.ds(scal_ref[0, e, 2 * lvl], TY),
+                    pl.ds(
+                        pl.multiple_of(scal_ref[0, e, 2 * lvl + 1], 8), TX
+                    ),
+                    :,
+                ]
+                row = (u * 2 + lvl) * TY * TX
+                tile_scratch[pl.ds(row, TY * TX), :] = tile.reshape(
+                    TY * TX, C
+                )
+            for lvl, vi in ((0, vi0), (1, vi1)):
+                for q in range(PP):
+                    v = scal_ref[0, e, 4 + lvl * PP + q]
+                    vi[pl.ds(u * PP + q, 1), :] = jnp.full(
+                        (1, 1), v, jnp.int32
+                    )
+
+        ct_gang = ct_ref[0, pl.ds(i * GANG, GANG)].astype(
+            jnp.float32
+        ).reshape(GANG * PP, 128)
+
+        for lvl, gv, vi in ((0, gv0, vi0), (1, gv1, vi1)):
+            v_ = vi[...]
+            fx = ((v_ >> 8) & 1023).astype(jnp.float32) * (1.0 / 1024.0)
+            fy = ((v_ >> 18) & 1023).astype(jnp.float32) * (1.0 / 1024.0)
+            okm = ((v_ >> 28) & 1).astype(jnp.float32)
+            g1 = ct_gang[:, lvl * 64:(lvl + 1) * 64] * good
+            # transpose of the bilinear blend (forward: right-rolls by
+            # 63/56/55 == left 1/8/9): right-rolls by 1/8/9
+            cg = okm * (
+                (1 - fy) * (1 - fx) * g1
+                + (1 - fy) * fx * pltpu.roll(g1, 1, 1)
+                + fy * (1 - fx) * pltpu.roll(g1, 8, 1)
+                + fy * fx * pltpu.roll(g1, 9, 1)
+            )
+            # transpose of the compaction: [*, 64] @ S^T -> [*, D*TX]
+            dr = jax.lax.dot_general(
+                cg.astype(jnp.bfloat16), S,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [GANG*PP, D*TX]
+            r_ = jnp.concatenate(
+                [dr, jnp.zeros((GANG * PP, (TY - D) * TX), jnp.float32)],
+                axis=1,
+            )
+            # transpose of the left-roll alignment: roll RIGHT by off
+            off = v_ & 255
+            for bit in range(8):
+                rolled = pltpu.roll(r_, 1 << bit, 1)
+                r_ = jnp.where(((off >> bit) & 1) == 1, rolled, r_)
+            gv[...] = r_.astype(gv.dtype)
+
+        g_gang = g_ref[0, pl.ds(i * GANG * PP, GANG * PP), :]
+        for u in range(GANG):
+            e = i * GANG + u
+            gacc = jnp.zeros((PP, C), jnp.float32)
+            for lvl, gv, gf in ((0, gv0, gf1_ref), (1, gv1, gf2_ref)):
+                gv_e = gv[u * PP:(u + 1) * PP, :]        # [PP, TY*TX]
+                tile_e = tile_scratch[
+                    (u * 2 + lvl) * TY * TX:(u * 2 + lvl + 1) * TY * TX, :
+                ]
+                gacc = gacc + jax.lax.dot_general(
+                    gv_e, tile_e,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                # fmap-grad contribution: [TY*TX, C] at the tile offset
+                g_e = g_gang[u * PP:(u + 1) * PP, :]
+                contrib = jax.lax.dot_general(
+                    gv_e, g_e,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).reshape(TY, TX, C)
+                ty = scal_ref[0, e, 2 * lvl]
+                tx = pl.multiple_of(scal_ref[0, e, 2 * lvl + 1], 8)
+                cur = gf[0, pl.ds(ty, TY), pl.ds(tx, TX), :]
+                gf[0, pl.ds(ty, TY), pl.ds(tx, TX), :] = (
+                    cur + contrib.astype(gf.dtype)
+                )
+            gg_ref[0, e] = gacc.astype(gg_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, E_BLK // GANG, edge_gang, 0)
+
+
+def corr_sched_bwd(ct_pad, gmap_s, fmap1, fmap2, coords_s, tabs,
+                   radius: int = 3, E_BLK: int = 64,
+                   interpret: bool = False):
+    """Pallas backward for the fused training correlation.
+
+    ct_pad [E_pad, PP*128] cotangent in SORTED order (pads zero);
+    gmap_s [E_pad, PP, C] sorted per-edge gmap rows; coords_s [E_pad, P,
+    P, 2] sorted level-1 coords; tabs [NB] per-block fmap slot. Returns
+    (grad_gmap_s [E_pad, PP, C] f32, grad_fmap1, grad_fmap2) — fmap grads
+    at the UNPADDED fmap shapes, f32."""
+    E_pad = ct_pad.shape[0]
+    Nf, H1, W1, C = fmap1.shape
+    _, H2, W2, _ = fmap2.shape
+    P = coords_s.shape[1]
+    R = radius
+    D = 2 * R + 2
+    PP = P * P
+    pad = 3 * D
+    NB = tabs.shape[0]
+    assert E_pad == NB * E_BLK
+
+    prep1 = _level_prep(coords_s, H1, W1, P, R, D, pad)
+    prep2 = _level_prep(coords_s / 4.0, H2, W2, P, R, D, pad)
+    ty1, tx1, v1 = _pack_window_scalars(prep1, E_pad, PP)
+    ty2, tx2, v2 = _pack_window_scalars(prep2, E_pad, PP)
+    scal = jnp.concatenate(
+        [ty1[:, None], tx1[:, None], ty2[:, None], tx2[:, None], v1, v2],
+        axis=1,
+    ).astype(jnp.int32).reshape(NB, E_BLK, 4 + 2 * PP)
+
+    fpad1 = _pad_ring(fmap1.astype(jnp.bfloat16), pad)
+    fpad2 = _pad_ring(fmap2.astype(jnp.bfloat16), pad)
+    Hp1, Wp1 = fpad1.shape[1], fpad1.shape[2]
+    Hp2, Wp2 = fpad2.shape[1], fpad2.shape[2]
+
+    gg, gf1, gf2 = pl.pallas_call(
+        functools.partial(
+            _kernel_sched_bwd, C=C, PP=PP, D=D, E_BLK=E_BLK
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(NB,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(
+                    (1, E_BLK * PP, C), lambda b, tb: (b, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, E_BLK, 4 + 2 * PP), lambda b, tb: (b, 0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec(
+                    (1, E_BLK, PP * 128), lambda b, tb: (b, 0, 0)
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, E_BLK, PP, C), lambda b, tb: (b, 0, 0, 0)),
+                # per-slot accumulators: same index while the slot repeats
+                pl.BlockSpec(
+                    (1, Hp1, Wp1, C), lambda b, tb: (tb[b], 0, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, Hp2, Wp2, C), lambda b, tb: (tb[b], 0, 0, 0)
+                ),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((Hp1, Wp1, C), jnp.bfloat16),
+                pltpu.VMEM((Hp2, Wp2, C), jnp.bfloat16),
+                pltpu.VMEM((GANG * 2 * TY * TX, C), jnp.bfloat16),
+                pltpu.VMEM((GANG * PP, TY * TX), jnp.bfloat16),
+                pltpu.VMEM((GANG * PP, TY * TX), jnp.bfloat16),
+                pltpu.VMEM((GANG * PP, 1), jnp.int32),
+                pltpu.VMEM((GANG * PP, 1), jnp.int32),
+                pltpu.SMEM((1,), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((NB, E_BLK, PP, C), jnp.float32),
+            jax.ShapeDtypeStruct((Nf, Hp1, Wp1, C), jnp.float32),
+            jax.ShapeDtypeStruct((Nf, Hp2, Wp2, C), jnp.float32),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(tabs, fpad1, fpad2,
+      gmap_s.reshape(NB, E_BLK * PP, C).astype(jnp.bfloat16),
+      scal, ct_pad.reshape(NB, E_BLK, PP * 128))
+
+    # slots never visited by the schedule hold uninitialized output memory
+    touched = jnp.zeros((Nf,), bool).at[tabs].set(True)
+    gf1 = jnp.where(touched[:, None, None, None], gf1, 0.0)
+    gf2 = jnp.where(touched[:, None, None, None], gf2, 0.0)
+    grad_f1 = gf1[:, pad:pad + H1, pad:pad + W1]
+    grad_f2 = gf2[:, pad:pad + H2, pad:pad + W2]
+    return gg.reshape(E_pad, PP, C), grad_f1, grad_f2
+
+
 def _paired_unblend(ct_l, coords_l, H, W, P, R):
     """Raw-tap gradient from a PAIRED-layout per-level cotangent.
 
@@ -1906,31 +2144,32 @@ def _ctf_fwd(gmap, fmap1, fmap2, coords, kk, jj, sched_src_inv, tabs,
 
 
 def _ctf_bwd(radius, E_BLK, interpret, res, ct):
-    from .corr import corr_bwd_from_gv
-
     gmap, fmap1, fmap2, coords, kk, jj, (src, inv), tabs = res
     E, P = coords.shape[0], coords.shape[1]
     PP = P * P
-    R = radius
     gmap_f = gmap.reshape(-1, P, P, gmap.shape[-1])
+    C = gmap_f.shape[-1]
+    E_pad = src.shape[0]
 
-    ctf = ct.astype(jnp.float32).reshape(E, PP, 2, 64)
-    grad_g = jnp.zeros_like(gmap_f, dtype=jnp.float32)
-    grads_f = []
-    for lvl, fmap in ((0, fmap1), (1, fmap2)):
-        coords_l = coords if lvl == 0 else coords / 4.0
-        H, W = fmap.shape[1], fmap.shape[2]
-        gv = _paired_unblend(ctf[:, :, lvl], coords_l, H, W, P, R)
-        gg, gf = corr_bwd_from_gv(
-            gv, gmap_f, fmap.astype(jnp.float32), coords_l, kk, jj, R
-        )
-        grad_g = grad_g + gg
-        grads_f.append(gf.astype(fmap.dtype))
+    # expand the cotangent to the padded sorted order (pads get zero — the
+    # forward's take(inv) reads only first-occurrence rows)
+    ct_pad = jnp.zeros((E_pad, ct.shape[1]), ct.dtype).at[inv].set(ct)
+    kk_s = jnp.take(kk, src, axis=0)
+    gmap_s = jnp.take(gmap_f.reshape(-1, PP, C), kk_s, axis=0)
+    coords_s = jnp.take(coords, src, axis=0)
+
+    gg_s, grad_f1, grad_f2 = corr_sched_bwd(
+        ct_pad, gmap_s, fmap1, fmap2, coords_s, tabs,
+        radius=radius, E_BLK=E_BLK, interpret=interpret,
+    )
+    grad_g = jax.ops.segment_sum(
+        gg_s, kk_s, num_segments=gmap_f.shape[0]
+    )
 
     ct_int = lambda a: np.zeros(a.shape, jax.dtypes.float0)
     return (
         grad_g.reshape(gmap.shape).astype(gmap.dtype),
-        grads_f[0], grads_f[1],
+        grad_f1.astype(fmap1.dtype), grad_f2.astype(fmap2.dtype),
         jnp.zeros_like(coords),
         ct_int(kk), ct_int(jj),
         (ct_int(src), ct_int(inv)),
