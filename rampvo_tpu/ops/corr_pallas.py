@@ -2077,52 +2077,14 @@ def corr_sched_bwd(ct_pad, gmap_s, fmap1, fmap2, coords_s, tabs,
     return gg.reshape(E_pad, PP, C), grad_f1, grad_f2
 
 
-def _paired_unblend(ct_l, coords_l, H, W, P, R):
-    """Raw-tap gradient from a PAIRED-layout per-level cotangent.
-
-    ct_l [E, PP, 64] (lane y*8+x); returns gv [E, P, P, D, D]. Transpose of
-    the kernel's in-kernel blend: gv[y,x] = sum_{dy,dx} w_dydx *
-    g[y-dy, x-dx], masked by the same in-tile `ok` the forward applied."""
-    E = ct_l.shape[0]
-    D = 2 * R + 2
-    d = 2 * R + 1
-    PP = P * P
-    pad = 3 * D
-    prep = _level_prep(
-        coords_l.reshape(E, P, P, 2), H, W, P, R, D, pad
-    )
-    x, y, x0, y0, _, _, _, _, ok = prep
-
-    g = ct_l.reshape(E, PP, D, D)
-    lane_y = jnp.arange(D) < d
-    g = jnp.where(lane_y[:, None] & lane_y[None, :], g, 0.0)
-
-    fx = (x - x0.astype(jnp.float32)).reshape(E, PP, 1, 1)
-    fy = (y - y0.astype(jnp.float32)).reshape(E, PP, 1, 1)
-
-    def sh(dy, dx):
-        return jnp.pad(g, ((0, 0), (0, 0), (dy, 0), (dx, 0)))[
-            :, :, : D, : D
-        ]
-
-    gv = (
-        (1 - fy) * (1 - fx) * g
-        + (1 - fy) * fx * sh(0, 1)
-        + fy * (1 - fx) * sh(1, 0)
-        + fy * fx * sh(1, 1)
-    )
-    gv = gv * ok.reshape(E, PP, 1, 1)
-    return gv.reshape(E, P, P, D, D)
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
 def corr_train_fused(gmap, fmap1, fmap2, coords, kk, jj, sched_src_inv,
                      tabs, radius=3, E_BLK=64, interpret=False):
     """Differentiable two-level training correlation, Pallas forward.
 
     Forward: `corr_sched_fused` (one fused kernel pass for both pyramid
-    levels, PAIRED output layout). Backward: the memory-bounded XLA
-    regather (ops/corr.corr_bwd_from_gv) per level — gradients flow to
+    levels, PAIRED output layout). Backward: `corr_sched_bwd`, the Pallas
+    mirror of the forward over the same schedule — gradients flow to
     gmap/fmap only, coords dropped, matching the reference backward
     (altcorr/correlation.py:32-45). The SPREAD window clip of the forward
     is mirrored in the backward (`ok` masking) so fwd/bwd stay consistent.
