@@ -15,6 +15,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--frames", type=int, default=40)
+    ap.add_argument("--chunk", type=int, default=8,
+                    help="frames per dispatch (lax.scan inside one jit; "
+                    "amortizes the ~3 ms remote-dispatch floor at `chunk` "
+                    "frames of latency; 1 = per-frame streaming)")
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--patches", type=int, default=96)
@@ -70,6 +74,11 @@ def main():
         jnp.asarray([True]),
     )
     state = init_state(cfg, MultiScaleEncoder.init_state(H, W), H, W)
+    K = max(args.chunk, 1)
+    if K > 1:
+        from rampvo_tpu.vo.runtime import make_vo_frames_chunk
+
+        vo_chunk = make_vo_frames_chunk(cfg, vonet)
     vo_frame = make_vo_frame(cfg, vonet)
 
     rng = np.random.RandomState(0)
@@ -92,16 +101,33 @@ def main():
     # steady state timing (ends with a genuine value fetch: on remote-TPU
     # backends block_until_ready alone does not fence execution). Two passes,
     # best taken: the TPU terminal is shared and single passes are noisy.
-    frames = [frame(n_warm + i) for i in range(args.frames)]
+    n_frames = args.frames - args.frames % K
+    frames = [frame(n_warm + i) for i in range(n_frames)]
+    if K > 1:
+        chunks = [
+            (
+                jnp.stack([e for e, _ in frames[i:i + K]]),
+                jnp.stack([m for _, m in frames[i:i + K]]),
+            )
+            for i in range(0, n_frames, K)
+        ]
+        masks = jnp.ones((K, 1), bool)
+        # compile the chunk step
+        state = vo_chunk(params, state, *chunks[0], masks, intr)
+        float(jnp.sum(state.poses[:8]))
     dt = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
-        for ev, im in frames:
-            state = vo_frame(params, state, ev, im, mask, intr)
+        if K > 1:
+            for ev_k, im_k in chunks:
+                state = vo_chunk(params, state, ev_k, im_k, masks, intr)
+        else:
+            for ev, im in frames:
+                state = vo_frame(params, state, ev, im, mask, intr)
         float(jnp.sum(state.poses[:8]))
         dt = min(dt, time.perf_counter() - t0)
 
-    fps = args.frames / dt
+    fps = n_frames / dt
     print(
         json.dumps(
             {

@@ -566,12 +566,13 @@ def _keyframe(cfg: VOConfig, state: VOState) -> VOState:
 # ---------------------------------------------------------------------------
 
 def make_vo_frame(cfg: VOConfig, vonet: VONet, event_bias: bool = True,
-                  oracle=None):
+                  oracle=None, jit_wrap: bool = True):
     """Build the single jitted per-frame function.
 
     vo_frame(params, state, events [T,H,W,Ce], images [1,H,W,3], mask [T])
       -> new state. `mask` must have >= 1 true entry (host routes
-      events-only frames to `make_encode_only`).
+      events-only frames to `make_encode_only`). `jit_wrap=False` returns
+    the raw function (used by `make_vo_frames_chunk`'s scan).
     """
 
     def encode_fn(params, events, images, mask, enc_state):
@@ -740,7 +741,36 @@ def make_vo_frame(cfg: VOConfig, vonet: VONet, event_bias: bool = True,
 
         return jax.lax.cond(skip, do_skip, do_advance, state)
 
+    if not jit_wrap:
+        return vo_frame
     return jax.jit(vo_frame, donate_argnums=(1,))
+
+
+def make_vo_frames_chunk(cfg: VOConfig, vonet: VONet,
+                         event_bias: bool = True, oracle=None):
+    """K frames per dispatch: `lax.scan` of the frame step inside ONE jit.
+
+    TPU-native streaming amortization — the remote-dispatch floor
+    (~3 ms/call on shared-TPU setups) is paid once per chunk instead of
+    once per frame, at K frames of added latency. Semantics identical to
+    K sequential `make_vo_frame` calls; every frame in the chunk must
+    have >= 1 true mask entry (route events-only frames to
+    `make_encode_only` between chunks).
+
+    frames(params, state, events [K,T,H,W,Ce], images [K,1,H,W,3],
+           masks [K,T], intrinsics [4]) -> new state.
+    """
+    frame = make_vo_frame(cfg, vonet, event_bias, oracle, jit_wrap=False)
+
+    def frames(params, state, events, images, masks, intrinsics):
+        def body(st, xs):
+            ev, im, m = xs
+            return frame(params, st, ev, im, m, intrinsics), jnp.int32(0)
+
+        st, _ = jax.lax.scan(body, state, (events, images, masks))
+        return st
+
+    return jax.jit(frames, donate_argnums=(1,))
 
 
 def make_encode_only(cfg: VOConfig, vonet: VONet):

@@ -180,6 +180,45 @@ class TestRuntimeSmoke:
         assert int(slam.state.counter) == 2
         assert np.all(np.isfinite(np.asarray(slam.state.enc["ss"])))
 
+    def test_chunked_frames_match_sequential(self):
+        """make_vo_frames_chunk (K frames per dispatch) must reproduce K
+        sequential make_vo_frame calls exactly."""
+        from rampvo_tpu.models.encoders import MultiScaleEncoder
+        from rampvo_tpu.vo.runtime import make_vo_frame, make_vo_frames_chunk
+        from rampvo_tpu.vo.state import init_state
+
+        vonet = VONet(input_mode="MultiScale")
+        params = vonet.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, H, W, 5)),
+            jnp.zeros((1, H, W, 3)), jnp.asarray([True]),
+        )
+        K = 6
+        evs, ims = make_frames(K, seed=5)
+        intr = jnp.asarray([100.0, 100.0, W / 2, H / 2], jnp.float32)
+        masks = jnp.ones((K, 1), bool)
+
+        frame = make_vo_frame(CFG, vonet)
+        st_a = init_state(CFG, MultiScaleEncoder.init_state(H, W), H, W)
+        for t in range(K):
+            st_a = frame(params, st_a, jnp.asarray(evs[t]),
+                         jnp.asarray(ims[t]), masks[t], intr)
+
+        chunk = make_vo_frames_chunk(CFG, vonet)
+        st_b = init_state(CFG, MultiScaleEncoder.init_state(H, W), H, W)
+        st_b = chunk(params, st_b, jnp.asarray(np.stack(evs)),
+                     jnp.asarray(np.stack(ims)), masks, intr)
+
+        assert int(st_b.n) == int(st_a.n)
+        assert int(st_b.counter) == int(st_a.counter)
+        np.testing.assert_allclose(
+            np.asarray(st_a.poses[:K]), np.asarray(st_b.poses[:K]),
+            rtol=0, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(st_a.patches[: K * CFG.M]),
+            np.asarray(st_b.patches[: K * CFG.M]), rtol=0, atol=1e-4,
+        )
+
     def test_events_only_frame_updates_encoder_only(self, slam):
         st_before = slam.state
         n0, c0 = int(st_before.n), int(st_before.counter)
