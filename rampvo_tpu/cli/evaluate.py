@@ -60,7 +60,8 @@ def load_params(weights, input_mode: str):
 
 
 def run(config_VO: VOConfig, params, eval_cfg, data_list,
-        final_iters: int = 12, event_bias=None, seed: int = 0):
+        final_iters: int = 12, event_bias=None, seed: int = 0,
+        chunk: int = 1):
     """Run the SLAM over a scene's data list (ref: evaluate.py:232-260).
 
     Returns (poses [N,7] xyz+xyzw camera-to-world, tstamps, points, colors).
@@ -74,7 +75,7 @@ def run(config_VO: VOConfig, params, eval_cfg, data_list,
     slam = RampVO(
         config_VO, params, input_mode=input_mode,
         num_event_bins=train_cfg["num_event_bins"], ht=H, wd=W,
-        event_bias=bias, seed=seed,
+        event_bias=bias, seed=seed, chunk=chunk,
     )
     from ..data.loader import device_prefetch
 
@@ -94,7 +95,8 @@ def run(config_VO: VOConfig, params, eval_cfg, data_list,
 
 
 def evaluate_sequence(config_VO, params, eval_cfg, data_list, traj_ref,
-                      img_timestamps, use_pose_pred=False, seed: int = 0):
+                      img_timestamps, use_pose_pred=False, seed: int = 0,
+                      chunk: int = 1):
     """(ref: evaluate.py:263-312)"""
     if use_pose_pred:
         # predict the second half of the trajectory (ref: evaluate.py:268-279)
@@ -108,7 +110,7 @@ def evaluate_sequence(config_VO, params, eval_cfg, data_list, traj_ref,
         colors = np.zeros((len(poses), 3), np.float32)
     else:
         poses, tstamps, points, colors = run(
-            config_VO, params, eval_cfg, data_list, seed=seed
+            config_VO, params, eval_cfg, data_list, seed=seed, chunk=chunk
         )
     used = img_timestamps[: len(poses)] if len(img_timestamps) >= len(poses) \
         else np.arange(len(poses), dtype=float)
@@ -119,7 +121,7 @@ def evaluate_sequence(config_VO, params, eval_cfg, data_list, traj_ref,
 
 def evaluate(net, trials=1, downsample_fact=1, config_VO=None, eval_cfg=None,
              results_path=None, save_dir="trajectory_evaluation",
-             colmap_dir=None):
+             colmap_dir=None, chunk=1):
     """Per-scene evaluation loop (ref: evaluate.py:313-412)."""
     test_ = eval_cfg["data_loader"]["test"]
     train_ = eval_cfg["data_loader"]["train"]["args"]
@@ -180,6 +182,7 @@ def evaluate(net, trials=1, downsample_fact=1, config_VO=None, eval_cfg=None,
                 used_ts[frame_indices] if len(frame_indices) else used_ts,
                 use_pose_pred=test_.get("use_pose_pred", False),
                 seed=j,  # trials differ through the stochastic pieces
+                chunk=chunk,
             )
             print(f"\n {scene_name} trial {j}: ate={ate:.4f} rot={rot}")
             eu.save_stamped_trajectories(
@@ -214,6 +217,10 @@ def main():
                         default="config_net/MultiScale_TartanEvent.json")
     parser.add_argument("--trials", type=int, default=1)
     parser.add_argument("--downsample_fact", type=int, default=1)
+    parser.add_argument("--chunk", type=int, default=1,
+                        help="frames per device dispatch (lax.scan chunking;"
+                        " amortizes dispatch overhead at `chunk` frames of"
+                        " latency)")
     parser.add_argument("--results_path", type=str, default=None)
     # fleet scale-out (parallel/eval_fleet.py): --fleet N spawns N worker
     # processes, each evaluating a round-robin scene shard (--shard i:N)
@@ -259,7 +266,7 @@ def main():
     results = evaluate(
         net=args.weights, trials=args.trials,
         downsample_fact=args.downsample_fact, config_VO=config_VO,
-        eval_cfg=eval_cfg, results_path=args.results_path,
+        eval_cfg=eval_cfg, results_path=args.results_path, chunk=args.chunk,
     )
     for k in results:
         print(k, results[k])

@@ -851,7 +851,7 @@ class RampVO:
 
     def __init__(self, cfg: VOConfig, params, input_mode: str = "MultiScale",
                  num_event_bins: int = 5, ht: int = 480, wd: int = 640,
-                 event_bias: bool = True, seed: int = 0):
+                 event_bias: bool = True, seed: int = 0, chunk: int = 1):
         self.cfg = cfg
         self.params = params
         self.vonet = VONet(input_mode=input_mode, evs_ch=num_event_bins, img_ch=3)
@@ -884,17 +884,54 @@ class RampVO:
         self._vo_frame = make_vo_frame(cfg, self.vonet, event_bias)
         self._encode_only = make_encode_only(cfg, self.vonet)
         self._final_cache: dict = {}
+        # chunked ingestion: buffer `chunk` frames and scan them in ONE
+        # dispatch (make_vo_frames_chunk) — amortizes the remote-dispatch
+        # floor; flushed by events-only frames, terminate/refinement, and
+        # any state read through .flush()
+        self.chunk = max(int(chunk), 1)
+        self._buf: list = []
+        self._vo_chunk = (
+            make_vo_frames_chunk(cfg, self.vonet, event_bias)
+            if self.chunk > 1 else None
+        )
+
+    def flush(self):
+        """Run any buffered frames (chunked mode). Call before reading
+        self.state."""
+        if not self._buf:
+            return
+        buf, self._buf = self._buf, []
+        if len(buf) == self.chunk:
+            evs = jnp.stack([b[0] for b in buf])
+            ims = jnp.stack([b[1] for b in buf])
+            ms = jnp.stack([b[2] for b in buf])
+            self.state = self._vo_chunk(
+                self.params, self.state, evs, ims, ms,
+                jnp.asarray(buf[0][3], jnp.float32),
+            )
+        else:  # partial chunk: per-frame path
+            for ev, im, m, K in buf:
+                self.state = self._vo_frame(
+                    self.params, self.state, ev, im, m,
+                    jnp.asarray(K, jnp.float32),
+                )
 
     def __call__(self, tstamp, events, image, mask, intrinsics):
         """events [T, H, W, C], image [1, H, W, 3] normalized, mask [T]
         host-side bool array, intrinsics [4]."""
         mask = np.asarray(mask).reshape(-1).astype(bool)
         if not mask.any():
+            self.flush()
             self.state = self._encode_only(
                 self.params, self.state, events, image, jnp.asarray(mask)
             )
             return
         self.tlist.append(tstamp)
+        if self.chunk > 1:
+            self._buf.append((events, image, jnp.asarray(mask), intrinsics))
+            if len(self._buf) == self.chunk:
+                self.flush()
+            return
         self.state = self._vo_frame(
             self.params, self.state, events, image, jnp.asarray(mask),
             jnp.asarray(intrinsics, jnp.float32),
@@ -903,6 +940,7 @@ class RampVO:
     def predict_future_pose(self, sec_to_pred_future, abs_time,
                             last_keyframe_number, deg=4, frequency=30.0):
         """Spline-based future-pose extrapolation (ref: Ramp_vo.py:446-514)."""
+        self.flush()
         from .pose_prediction import predict_future_pose
 
         return predict_future_pose(
@@ -913,6 +951,7 @@ class RampVO:
     def final_refinement(self, iters: int = 12):
         """N terminal update iterations (ref: evaluate.py:254-255). Each
         distinct `iters` compiles once and is cached."""
+        self.flush()
         if iters <= 0:
             return
         if iters not in self._final_cache:
@@ -924,6 +963,7 @@ class RampVO:
     def point_cloud(self):
         """World-space patch-center point cloud + colors for export
         (ref: Ramp_vo.py:308-310, evaluate.py:256-258). [m, 3] each."""
+        self.flush()
         import jax.numpy as jnp
 
         st = self.state
@@ -954,6 +994,7 @@ class RampVO:
         """Interpolate removed/skipped frames through the delta chain and
         return (poses [N,7] camera-to-world, tstamps [N])
         (ref: Ramp_vo.py:162-173)."""
+        self.flush()
         st = self.state
         n = int(st.n)
         counter = int(st.counter)

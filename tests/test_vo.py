@@ -219,6 +219,20 @@ class TestRuntimeSmoke:
             np.asarray(st_b.patches[: K * CFG.M]), rtol=0, atol=1e-4,
         )
 
+        # host driver: chunk=4 with a partial tail + terminate flush
+        vo = RampVO(CFG, params, input_mode="MultiScale", ht=H, wd=W,
+                    chunk=4)
+        intr_np = np.asarray(intr)
+        for t in range(K):
+            vo(t, jnp.asarray(evs[t]), jnp.asarray(ims[t]),
+               np.asarray([True]), intr_np)
+        poses_c, ts_c = vo.terminate()
+        assert poses_c.shape == (K, 7)
+        np.testing.assert_allclose(
+            np.asarray(st_a.poses[:K])[:, :3],
+            np.asarray(vo.state.poses[:K])[:, :3], rtol=0, atol=1e-5,
+        )
+
     def test_events_only_frame_updates_encoder_only(self, slam):
         st_before = slam.state
         n0, c0 = int(st_before.n), int(st_before.counter)
