@@ -122,14 +122,34 @@ def train(args):
     if len(dataset) == 0:
         raise RuntimeError(f"no training scenes found under {args.data_path}")
 
-    rng = jax.random.PRNGKey(args.seed + 1)
-    t_start = time.time()
-    while step < train_cfg["steps"]:
+    def make_batch():
         samples = [
             dataset[int(np.random.randint(1, max(len(dataset), 2)))]
             for _ in range(batch_size)
         ]
-        batch = shard_batch(mesh, collate(samples))
+        return shard_batch(mesh, collate(samples))
+
+    if args.workers > 0:
+        # one-deep host pipeline: a single background thread prepares the
+        # next batch while the device steps (h5py handles are not
+        # thread-safe under concurrent reads, so exactly one loader thread;
+        # the ref's DataLoader workers serve the same role, train.py:109-115)
+        from concurrent.futures import ThreadPoolExecutor
+
+        _pool = ThreadPoolExecutor(max_workers=1)
+        _fut = [_pool.submit(make_batch)]
+
+        def next_batch():
+            b = _fut[0].result()
+            _fut[0] = _pool.submit(make_batch)
+            return b
+    else:
+        next_batch = make_batch
+
+    rng = jax.random.PRNGKey(args.seed + 1)
+    t_start = time.time()
+    while step < train_cfg["steps"]:
+        batch = next_batch()
 
         rng, k = jax.random.split(rng)
         train_step = get_step_fn(structure_only())
