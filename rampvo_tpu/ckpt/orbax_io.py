@@ -22,5 +22,16 @@ def save_checkpoint(directory: str, step: int, params, opt_state=None,
 
 
 def restore_checkpoint(path: str):
+    """Restore a checkpoint. `path` may be a specific step_XXXXXXXX dir or
+    a run directory containing several — the latest step is restored."""
+    path = os.path.abspath(path)
+    if os.path.isdir(path):
+        steps = sorted(
+            d for d in os.listdir(path)
+            if d.startswith("step_")
+            and os.path.isdir(os.path.join(path, d))
+        )
+        if steps:
+            path = os.path.join(path, steps[-1])
     ckptr = ocp.PyTreeCheckpointer()
-    return ckptr.restore(os.path.abspath(path))
+    return ckptr.restore(path)

@@ -101,7 +101,7 @@ def train(args):
             step = int(restored.get("step", 0))
 
     mesh = make_mesh()
-    n_dev = len(jax.devices())
+    n_dev = int(mesh.devices.size)
     batch_size = max(train_cfg.get("batch_size", 1), 1) * n_dev
 
     def structure_only():
@@ -117,7 +117,8 @@ def train(args):
         return step_fns[so]
 
     dataset = TartanEventDataset(
-        config, args.data_path, step=step, seed=args.seed
+        config, args.data_path, step=step, seed=args.seed,
+        fmin=args.fmin, fmax=args.fmax,
     )
     if len(dataset) == 0:
         raise RuntimeError(f"no training scenes found under {args.data_path}")
@@ -191,6 +192,9 @@ def main():
     parser.add_argument("--config_path", type=str, required=True)
     parser.add_argument("--log_results", action="store_true", default=False)
     parser.add_argument("--workers", type=int, default=0)
+    parser.add_argument("--fmin", type=float, default=10.0,
+                        help="frame-graph min mean flow (px) for sampling")
+    parser.add_argument("--fmax", type=float, default=75.0)
     parser.add_argument("--seed", type=int, default=1234)
     parser.add_argument("--unroll_steps", type=int, default=18)
     parser.add_argument("--print_every", type=int, default=10)
