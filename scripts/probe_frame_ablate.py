@@ -72,9 +72,8 @@ def main():
     float(jnp.sum(state.poses[:8]))
     print(f"warmed: n={int(state.n)} counter={int(state.counter)}")
 
-    from rampvo_tpu.models.encoders_fused import fused_multiscale_encode
-
     def encode_fn(params, events, images, m, enc_state):
+        # match the production default (flax path, bf16 mixed precision)
         p16 = jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
             params,
@@ -82,13 +81,10 @@ def main():
         e16 = jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16), enc_state
         )
-        fmap, imap, enc2 = fused_multiscale_encode(
-            p16["params"]["patchify"]["encoder"],
-            events.astype(jnp.bfloat16), images.astype(jnp.bfloat16),
-            m, e16,
+        fmap, imap, enc2 = vonet.apply(
+            p16, events.astype(jnp.bfloat16), images.astype(jnp.bfloat16),
+            m, e16, 1, method=VONet.encode,
         )
-        fmap = fmap / 4.0
-        imap = imap / 4.0
         return fmap, imap, jax.tree_util.tree_map(
             lambda x: x.astype(jnp.float32), enc2
         )
