@@ -84,6 +84,7 @@ def train(args):
         flow_weight=train_cfg["flow_weight"],
         pose_weight=train_cfg["pose_weight"],
         event_bias=train_cfg.get("event_bias", True),
+        gradient_bias=train_cfg.get("gradient_bias", False),
     )
     optimizer = make_optimizer(train_cfg)
     opt_state = optimizer.init(params)
@@ -147,6 +148,14 @@ def train(args):
     else:
         next_batch = make_batch
 
+    # TB/stdout running-mean logger (ref keeps ramp/logger.py unwired;
+    # here it complements the optional wandb stream)
+    logger = None
+    if args.tensorboard:
+        from ..utils.logger import Logger
+
+        logger = Logger(run_name, log_dir=args.tensorboard)
+
     rng = jax.random.PRNGKey(args.seed + 1)
     t_start = time.time()
     while step < train_cfg["steps"]:
@@ -158,6 +167,9 @@ def train(args):
             params, opt_state, batch, k
         )
         step += 1
+
+        if logger is not None:
+            logger.push({k2: float(v) for k2, v in metrics.items()})
 
         if step % args.print_every == 0:
             m = {k2: float(v) for k2, v in metrics.items()}
@@ -179,6 +191,13 @@ def train(args):
                         net={"params": params["params"]}, eval_cfg=config,
                     )
                     print("validation:", results, flush=True)
+                    if logger is not None:
+                        flat = {
+                            f"val/{os.path.basename(s)}": t["trial_0"]["ate"]
+                            for s, t in results.items()
+                            if isinstance(t, dict) and "trial_0" in t
+                        }
+                        logger.write_dict(flat)
                 except Exception as e:  # ref behavior: log & continue
                     print(f"VALIDATION FAILED: {e}", flush=True)
     return params
@@ -191,6 +210,9 @@ def main():
     parser.add_argument("--ckpt", type=str, default=None)
     parser.add_argument("--config_path", type=str, required=True)
     parser.add_argument("--log_results", action="store_true", default=False)
+    parser.add_argument("--tensorboard", type=str, default=None,
+                        help="TensorBoard log dir (running means every 100 "
+                        "steps; stdout fallback when TB is absent)")
     parser.add_argument("--workers", type=int, default=0)
     parser.add_argument("--fmin", type=float, default=10.0,
                         help="frame-graph min mean flow (px) for sampling")

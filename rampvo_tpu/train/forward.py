@@ -25,7 +25,12 @@ import numpy as np
 from ..ba import ba_train
 from ..lie import SE3, ops as lops
 from ..models import VONet
-from ..models.vonet import extract_patches, select_coords_event_bias, select_coords_random
+from ..models.vonet import (
+    extract_patches,
+    select_coords_event_bias,
+    select_coords_gradient_bias,
+    select_coords_random,
+)
 from ..ops.corr import avg_pool2d, corr as corr_op, corr_stack, corr_train
 from .loss import pose_loss_terms
 
@@ -171,7 +176,8 @@ class TrainForward:
     def __init__(self, vonet: VONet, n_frames: int, M: int = 80,
                  steps: int = 18, flow_weight: float = 0.1,
                  pose_weight: float = 10.0, event_bias: bool = True, P: int = 3,
-                 ablate: frozenset = frozenset(), corr_impl: str = "auto"):
+                 ablate: frozenset = frozenset(), corr_impl: str = "auto",
+                 gradient_bias: bool = False):
         self.vonet = vonet
         self.n_frames = n_frames
         self.M = M
@@ -180,6 +186,7 @@ class TrainForward:
         self.flow_weight = flow_weight
         self.pose_weight = pose_weight
         self.event_bias = event_bias
+        self.gradient_bias = gradient_bias
         # perf-probe ablations (scripts/probe_train_ablate.py):
         # "corr" -> zeros for corr_in, "encoder" -> zero feature maps,
         # "ba" -> skip the differentiable BA, "update" -> skip the GRU net
@@ -254,6 +261,9 @@ class TrainForward:
         (sup_idx,) = jnp.nonzero(mask, size=NF, fill_value=T - 1)
         if self.event_bias:
             coords = select_coords_event_bias(events[sup_idx], cfgM, nms_rad=11)
+        elif self.gradient_bias:
+            # three-way priority event > gradient > random (net.py:164-188)
+            coords = select_coords_gradient_bias(k_sel, images, cfgM)
         else:
             coords = select_coords_random(
                 k_sel, NF, cfgM, fmap.shape[1], fmap.shape[2]

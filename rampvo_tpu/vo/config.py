@@ -37,9 +37,11 @@ class VOConfig:
 
     # lattice-path implementation toggles (A/B-able; defaults = fastest
     # measured). CORR_LAYOUT: "fused" = in-kernel binary-roll alignment +
-    # compaction + blend (corr_lattice_fused), "paired" = in-kernel
-    # compaction + XLA lane-shift blend (corr_lattice_compact), "folded" =
-    # stacked band kernel + XLA band finish (corr_lattice2_stacked).
+    # compaction + blend (corr_lattice_fused), "fused2" = fused without the
+    # staging round-trips (direct slice->MXU dots, pipelined scalar
+    # columns — corr_lattice_fused2), "paired" = in-kernel compaction + XLA
+    # lane-shift blend (corr_lattice_compact), "folded" = stacked band
+    # kernel + XLA band finish (corr_lattice2_stacked).
     # False: the fused single-step encoder (models/encoders_fused.py)
     # measured +3.0 ms SLOWER than the straight flax path in-frame
     # (scripts/ab_frame_variants.py — grouped convs + gate matmul lose)

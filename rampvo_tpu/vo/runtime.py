@@ -33,6 +33,7 @@ from ..models.vonet import (
     extract_patches,
     filter_features,
     select_coords_event_bias,
+    select_coords_gradient_bias,
     select_coords_random,
 )
 from ..ops.corr import avg_pool2d, corr as corr_xla, corr_region, corr_stack
@@ -42,6 +43,7 @@ from ..ops.corr_pallas import (
     corr_lattice2_stacked,
     corr_lattice_compact,
     corr_lattice_fused,
+    corr_lattice_fused2,
     corr_pallas2,
     folded_corr_perm,
     paired_corr_perm,
@@ -227,15 +229,18 @@ def _edge_corr_ctx_lattice(cfg: VOConfig, state: VOState, ii, jj, kk):
     else:
         coords = _reproject_edges(cfg, state, ii, jj, kk)
     h4, w4 = state.hw4
-    if cfg.CORR_LAYOUT in ("fused", "paired"):
+    if cfg.CORR_LAYOUT in ("fused", "fused2", "paired"):
         # paired 128-lane layout: the kernel emits 8x8-compacted windows
         # (one constant 0/1 MXU matmul in-kernel, 3x less output than the
         # stacked band). "fused" does binary-roll window alignment AND the
         # bilinear blend in-kernel; "paired" (corr_lattice_compact) blends
         # outside as lane shifts. Window permute + level interleave fold
         # into corr_fc1's kernel by update_fn (paired_corr_perm).
-        kfn = (corr_lattice_fused if cfg.CORR_LAYOUT == "fused"
-               else corr_lattice_compact)
+        kfn = {
+            "fused": corr_lattice_fused,
+            "fused2": corr_lattice_fused2,
+            "paired": corr_lattice_compact,
+        }[cfg.CORR_LAYOUT]
         corr_in = kfn(
             state.gmap_r, state.fmap1_r, state.fmap2_r,
             coords.reshape(NI, T, M, P, P, 2), state.cell_valid,
@@ -676,12 +681,20 @@ def make_vo_frame(cfg: VOConfig, vonet: VONet, event_bias: bool = True,
         fmap, imap, enc2 = encode_fn(params, events, images, mask, state.enc)
         state = state.replace(enc=enc2)
 
-        # patch coordinate selection at 1/4 res (ref: net.py:163-188)
+        # patch coordinate selection at 1/4 res — three-way priority
+        # event_bias > GRADIENT_BIAS > random (ref: net.py:163-188; the
+        # reference's gradient branch is latent — net.py never receives
+        # gradient_bias=True from Ramp_vo — this implements the intended
+        # config_vo GRADIENT_BIAS knob, e.g. default_rgb.yaml)
         T = events.shape[0]
         (sup,) = jnp.nonzero(mask, size=1, fill_value=T - 1)
         ev_sel = events[sup]
         if event_bias:
             coords = select_coords_event_bias(ev_sel, cfg.M, nms_rad=11)
+        elif cfg.GRADIENT_BIAS:
+            rng, k1 = jax.random.split(state.rng)
+            state = state.replace(rng=rng)
+            coords = select_coords_gradient_bias(k1, images[:1], cfg.M)
         else:
             rng, k1 = jax.random.split(state.rng)
             state = state.replace(rng=rng)

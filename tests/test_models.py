@@ -119,6 +119,7 @@ class TestEncoders:
         )
         assert float(jnp.abs(st_a["ss"]).max()) > 0  # image did fold
 
+    @pytest.mark.slow
     def test_multi_scale_shapes_and_gather(self):
         T, Ti = 3, 2
         ev = jnp.asarray(np.random.RandomState(0).rand(T, H, W, 5), jnp.float32)
@@ -135,6 +136,7 @@ class TestEncoders:
         assert state["ss"][2].shape == (H // 4, W // 4, 32)
 
     @pytest.mark.parametrize("mval", [True, False])
+    @pytest.mark.slow
     def test_fused_single_step_matches_multiscale(self, mval):
         """The fused inference path (models/encoders_fused.py: one gate
         matmul + one composed fold matmul per scale, grouped-conv heads)
@@ -394,6 +396,30 @@ class TestSelectionAndExtraction:
         assert c.shape == (2, 50, 2)
         assert c.min() >= 1
         assert np.asarray(c[..., 0]).max() < W // 4 - 1
+
+    def test_gradient_bias_ranks_candidates(self):
+        # gradient magnitude increases with x (intensity ~ x^2), so the
+        # top-M of 3M random candidates must cluster at large x
+        # (ref: net.py:172-183)
+        from rampvo_tpu.models.vonet import select_coords_gradient_bias
+
+        xs = np.arange(W, dtype=np.float32)
+        img = np.broadcast_to(
+            ((xs / W) ** 2)[None, :, None], (H, W, 3)
+        )[None].copy()
+        M = 12
+        c = select_coords_gradient_bias(
+            jax.random.PRNGKey(3), jnp.asarray(img), M
+        )
+        assert c.shape == (1, M, 2)
+        w4 = W // 4
+        assert c.min() >= 1 and np.asarray(c[..., 0]).max() < w4 - 1
+        assert np.asarray(c[0, :, 0]).min() > 0.4 * w4
+        # stochastic across keys (per-trial re-roll, net.py:175-176)
+        c2 = select_coords_gradient_bias(
+            jax.random.PRNGKey(4), jnp.asarray(img), M
+        )
+        assert not np.allclose(np.asarray(c), np.asarray(c2))
 
     def test_extract_patches_centers(self):
         n, M = 1, 4

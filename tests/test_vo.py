@@ -129,6 +129,7 @@ class TestEdgeTable:
         assert np.all(kk2 // CFG.M >= int(st2.n) - cfg_keep.REMOVAL_WINDOW)
 
 
+@pytest.mark.slow
 class TestRuntimeSmoke:
     def test_sequence_runs_and_terminates(self, slam):
         evs, ims = make_frames(12)
@@ -243,6 +244,54 @@ class TestRuntimeSmoke:
         assert int(slam.state.counter) == c0
 
 
+@pytest.mark.slow
+class TestSelectionModes:
+    """Three-way patch-selection priority event_bias > GRADIENT_BIAS >
+    random, wired through the VO runtime (ref: net.py:164-188;
+    config_vo/default_rgb.yaml sets GRADIENT_BIAS)."""
+
+    def _first_frame_coords(self, event_bias, gradient_bias, seed=1):
+        import dataclasses
+
+        cfg = dataclasses.replace(CFG, GRADIENT_BIAS=gradient_bias)
+        vo = RampVO(cfg, None, input_mode="MultiScale", ht=H, wd=W,
+                    event_bias=event_bias, seed=seed)
+        vo.params = vo.vonet.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, H, W, 5)),
+            jnp.zeros((1, H, W, 3)),
+            jnp.asarray([True]),
+        )
+        evs, ims = make_frames(1, seed=3)
+        K = np.asarray([W / 2, W / 2, W / 2, H / 2], np.float32)
+        vo(0, jnp.asarray(evs[0]), jnp.asarray(ims[0]), np.asarray([True]), K)
+        M = cfg.M
+        return np.asarray(vo.state.patches[:M, :2, 1, 1])
+
+    def test_three_way_priority(self):
+        from rampvo_tpu.models.vonet import select_coords_event_bias
+
+        evs, _ = make_frames(1, seed=3)
+        expect_ev = np.asarray(
+            select_coords_event_bias(jnp.asarray(evs[0]), CFG.M, nms_rad=11)
+        )[0]
+
+        # event bias wins even with GRADIENT_BIAS set
+        ev = self._first_frame_coords(True, True)
+        np.testing.assert_allclose(np.sort(ev, 0), np.sort(expect_ev, 0))
+
+        gr = self._first_frame_coords(False, True)
+        rn = self._first_frame_coords(False, False)
+        assert not np.allclose(gr, ev)
+        assert not np.allclose(rn, ev)
+        assert not np.allclose(gr, rn)
+
+        # non-event modes re-roll per trial seed (ref: net.py:175,186-188)
+        gr2 = self._first_frame_coords(False, True, seed=2)
+        assert not np.allclose(gr, gr2)
+
+
+@pytest.mark.slow
 class TestLongRunStability:
     def test_sixty_frames_with_evictions(self):
         """Long sequence with constant keyframe evictions: ring slots must
@@ -284,6 +333,7 @@ class TestLongRunStability:
         assert np.all(np.isfinite(poses))
 
 
+@pytest.mark.slow
 class TestLatticeRuntimeCPU:
     """Drive the TPU lattice path (corr kernel in interpret mode + lattice
     update net + lattice BA) end-to-end on CPU."""
