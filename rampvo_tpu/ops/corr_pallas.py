@@ -870,6 +870,118 @@ def _kernel_lat_fused(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref, out_ref,
         jax.lax.fori_loop(0, M // GANG, edge_gang, 0)
 
 
+def _kernel_lat_fused2(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref, vcol_ref,
+                       out_ref, scratch1, scratch2, rs0, rs1, last_slot,
+                       sem1, sem2, *, C, PP, D, M, NI):
+    """_kernel_lat_fused without the staging round-trips.
+
+    The fused kernel's cost is NOT the MXU work (~0.5 ms of dots at bench
+    shapes) — it is the per-gang VMEM traffic: 16 tile copies into
+    tile_scratch (store+reload), the dmt store+reload, the 16 diagonal-block
+    extractions into rs, and 144 (1,1)-element scalar-column stores. This
+    variant:
+
+      * dots each edge-level's gmap rows [PP, C] DIRECTLY against its tile
+        slice [TY*TX, C] (16 small MXU matmuls per gang) — the tile is read
+        once and never stored; dmt_scratch and tile_scratch disappear;
+      * the roll scratches become 3-D [GANG, PP, TY*TX] so every store is
+        STATIC-indexed (python-unrolled u) instead of a dynamic 9-row
+        sublane slice;
+      * the packed per-window scalars arrive as a PIPELINED VMEM input
+        column [M*PP, 2] (one 7 kB DMA per cell) instead of 144 tiny
+        SMEM->VMEM stores per gang.
+
+    Same contract as _kernel_lat_fused (paired 128-lane blended output).
+    Ref semantics: altcorr/correlation_kernel.cu:83-136,221-232."""
+    b = pl.program_id(0)
+    valid = tabs[b, 4] < NI
+    slot = tabs[b, 2]
+
+    @pl.when(b == 0)
+    def _init():
+        last_slot[0] = -1
+
+    @pl.when(valid & (slot != last_slot[0]))
+    def _load():
+        cp1 = pltpu.make_async_copy(fmap1_hbm.at[slot], scratch1, sem1)
+        cp2 = pltpu.make_async_copy(fmap2_hbm.at[slot], scratch2, sem2)
+        cp1.start()
+        cp2.start()
+        cp1.wait()
+        cp2.wait()
+        last_slot[0] = slot
+
+    @pl.when(valid)
+    def _compute():
+        rowid = jax.lax.broadcasted_iota(jnp.int32, (D * TX, 64), 0)
+        outid = jax.lax.broadcasted_iota(jnp.int32, (D * TX, 64), 1)
+        S = (
+            (rowid // TX == outid // 8) & (rowid % TX == outid % 8)
+        ).astype(jnp.float32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (GANG * PP, 64), 1)
+        good = ((lane // 8) < D - 1) & ((lane % 8) < D - 1)
+
+        def edge_gang(i, carry):
+            # one aligned [GANG*PP, C] load; per-edge rows sliced STATICALLY
+            # (dynamic 9-row loads are not 8-aligned and fail Mosaic layout)
+            g_gang = g_ref[0, pl.ds(i * GANG * PP, GANG * PP), :]
+            for u in range(GANG):
+                e = i * GANG + u
+                g_u = g_gang[u * PP:(u + 1) * PP, :]        # [PP, C]
+                for lvl, rs, scratch in (
+                    (0, rs0, scratch1), (1, rs1, scratch2)
+                ):
+                    tile = scratch[
+                        pl.ds(scal_ref[0, 0, e, 2 * lvl], TY),
+                        pl.ds(
+                            pl.multiple_of(
+                                scal_ref[0, 0, e, 2 * lvl + 1], 8
+                            ),
+                            TX,
+                        ),
+                        :,
+                    ]
+                    rs[u] = jax.lax.dot_general(
+                        g_u, tile.reshape(TY * TX, C),
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ).astype(rs.dtype)
+
+            outs = []
+            for lvl, rs in ((0, rs0), (1, rs1)):
+                r_ = rs[...].reshape(GANG * PP, TY * TX)
+                v_ = vcol_ref[
+                    0, 0, pl.ds(i * GANG * PP, GANG * PP), pl.ds(lvl, 1)
+                ]                                  # [GANG*PP, 1]
+                off = v_ & 255
+                for bit in range(8):
+                    rolled = pltpu.roll(r_, TY * TX - (1 << bit), 1)
+                    r_ = jnp.where(((off >> bit) & 1) == 1, rolled, r_)
+                c = jax.lax.dot_general(
+                    r_[:, : D * TX], S,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [GANG*PP, 64]
+                fx = ((v_ >> 8) & 1023).astype(jnp.float32) * (1.0 / 1024.0)
+                fy = ((v_ >> 18) & 1023).astype(jnp.float32) * (1.0 / 1024.0)
+                okm = ((v_ >> 28) & 1).astype(jnp.float32)
+                out_l = okm * (
+                    (1 - fy) * (1 - fx) * c
+                    + (1 - fy) * fx * pltpu.roll(c, 63, 1)
+                    + fy * (1 - fx) * pltpu.roll(c, 56, 1)
+                    + fy * fx * pltpu.roll(c, 55, 1)
+                )
+                outs.append(jnp.where(good, out_l, 0.0))
+
+            pair = jnp.concatenate(outs, axis=1)  # [GANG*PP, 128]
+            out_ref[0, 0, pl.ds(i * GANG, GANG)] = pair.astype(
+                out_ref.dtype
+            ).reshape(GANG, PP, 128)
+            return carry
+
+        jax.lax.fori_loop(0, M // GANG, edge_gang, 0)
+
+
 RING_PAD = 24  # = 3*D for D=8 (radius-3 windows)
 
 
@@ -1569,10 +1681,13 @@ def corr_lattice_fused(
                 pltpu.VMEM((GANG * 2 * TY * TX, C), fmap1.dtype),
                 # bf16 staging: the dot-map round-trip is the kernel's
                 # largest VMEM traffic; corr values tolerate bf16 (the
-                # update net consumes them in bf16 anyway)
+                # update net consumes them in bf16 anyway). The roll
+                # scratches rs0/rs1 MUST stay f32: Mosaic's dynamic_rotate
+                # only supports 32-bit lanes ("Rotate with non-32-bit
+                # data", BENCH_r02 regression).
                 pltpu.VMEM((GANG * PP, GANG * 2 * TY * TX), jnp.bfloat16),
-                pltpu.VMEM((GANG * PP, TY * TX), jnp.bfloat16),
-                pltpu.VMEM((GANG * PP, TY * TX), jnp.bfloat16),
+                pltpu.VMEM((GANG * PP, TY * TX), jnp.float32),
+                pltpu.VMEM((GANG * PP, TY * TX), jnp.float32),
                 # per-window packed scalars as 1-lane columns
                 pltpu.VMEM((GANG * PP, 1), jnp.int32),
                 pltpu.VMEM((GANG * PP, 1), jnp.int32),
@@ -1589,6 +1704,107 @@ def corr_lattice_fused(
         ),
         interpret=interpret,
     )(tabs, fpad1, fpad2, gflat, scal)
+
+    vmask = _cell_vmask(NI, T, M, r, n, cell_valid)
+    return jnp.where(
+        vmask[:, None], out[:NI].reshape(E, PP * 128), jnp.bfloat16(0.0)
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("r", "radius", "interpret", "prepadded", "hw")
+)
+def corr_lattice_fused2(
+    gmap_r, fmap1, fmap2, coords, cell_valid, n, slotmap,
+    r: int, radius: int = 3, interpret: bool = False,
+    prepadded: bool = False, hw=None,
+) -> jnp.ndarray:
+    """corr_lattice_fused via `_kernel_lat_fused2` (direct slice->MXU dots,
+    no staging round-trips, pipelined scalar columns). Same contract:
+    [NI*T*M, PP*128] bf16 paired layout."""
+    NI, T, M, P, _, _ = coords.shape
+    if prepadded:
+        MEM, C = fmap1.shape[0], fmap1.shape[3]
+        H1, W1, H2, W2 = hw
+    else:
+        MEM, H1, W1, C = fmap1.shape
+        _, H2, W2, _ = fmap2.shape
+    L = slotmap.shape[0]
+    R = radius
+    D = 2 * R + 2
+    PP = P * P
+    pad = 3 * D
+    E = NI * T * M
+    assert M % GANG == 0, "lattice kernel needs M % 8 == 0"
+    assert D == 8, "fused kernel packs 8x8 windows into 64 lanes"
+
+    tabs, NB = _cell_tables(NI, T, M, r, n, cell_valid, slotmap, MEM, L)
+
+    cflat = coords.reshape(E, P, P, 2)
+    prep1 = _level_prep(cflat, H1, W1, P, R, D, pad)
+    prep2 = _level_prep(cflat / 4.0, H2, W2, P, R, D, pad)
+
+    ty1, tx1, v1 = _pack_window_scalars(prep1, E, PP)
+    ty2, tx2, v2 = _pack_window_scalars(prep2, E, PP)
+    scal = jnp.concatenate(
+        [ty1[:, None], tx1[:, None], ty2[:, None], tx2[:, None]], axis=1,
+    ).astype(jnp.int32).reshape(NI, T, M, 4)
+    vcol = jnp.stack([v1, v2], axis=-1).reshape(NI, T, M * PP, 2)
+
+    if prepadded:
+        fpad1, fpad2 = fmap1, fmap2
+    else:
+        fpad1 = _pad_ring(fmap1, pad)
+        fpad2 = _pad_ring(fmap2, pad)
+    Hp1, Wp1 = fpad1.shape[1], fpad1.shape[2]
+    Hp2, Wp2 = fpad2.shape[1], fpad2.shape[2]
+
+    gflat = gmap_r.reshape(MEM, M * PP, C)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_lat_fused2, C=C, PP=PP, D=D, M=M, NI=NI),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(NB,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(
+                    (1, M * PP, C), lambda b, tb: (tb[b, 3], 0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, M, 4),
+                    lambda b, tb: (tb[b, 0], tb[b, 1], 0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, M * PP, 2),
+                    lambda b, tb: (tb[b, 0], tb[b, 1], 0, 0),
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, M, PP, 128),
+                lambda b, tb: (tb[b, 4], tb[b, 1], 0, 0, 0),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((Hp1, Wp1, C), fmap1.dtype),
+                pltpu.VMEM((Hp2, Wp2, C), fmap2.dtype),
+                # f32: Mosaic rotate needs 32-bit lanes
+                pltpu.VMEM((GANG, PP, TY * TX), jnp.float32),
+                pltpu.VMEM((GANG, PP, TY * TX), jnp.float32),
+                pltpu.SMEM((1,), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (NI + 1, T, M, PP, 128), jnp.bfloat16
+        ),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(tabs, fpad1, fpad2, gflat, scal, vcol)
 
     vmask = _cell_vmask(NI, T, M, r, n, cell_valid)
     return jnp.where(
@@ -1816,10 +2032,11 @@ def corr_sched_fused(gmap, fmap1, fmap2, coords, kk, src, inv, tabs,
                 pltpu.VMEM((Hp2, Wp2, C), jnp.bfloat16),
                 pltpu.VMEM((GANG * 2 * TY * TX, C), jnp.bfloat16),
                 # bf16 staging + 1-lane scalar columns (see
-                # _kernel_lat_fused scratch notes)
+                # _kernel_lat_fused scratch notes; rs0/rs1 f32 — Mosaic
+                # rotate needs 32-bit lanes)
                 pltpu.VMEM((GANG * PP, GANG * 2 * TY * TX), jnp.bfloat16),
-                pltpu.VMEM((GANG * PP, TY * TX), jnp.bfloat16),
-                pltpu.VMEM((GANG * PP, TY * TX), jnp.bfloat16),
+                pltpu.VMEM((GANG * PP, TY * TX), jnp.float32),
+                pltpu.VMEM((GANG * PP, TY * TX), jnp.float32),
                 pltpu.VMEM((GANG * PP, 1), jnp.int32),
                 pltpu.VMEM((GANG * PP, 1), jnp.int32),
                 pltpu.SMEM((1,), jnp.int32),

@@ -68,6 +68,7 @@ class TestCorrPallas:
 
 
 class TestCorrLattice:
+    @pytest.mark.slow
     def test_lattice_matches_xla(self):
         """corr_lattice2 on a synthetic lattice == corr over the flat
         edge view, for valid cells (invalid cells are undefined)."""
@@ -132,6 +133,51 @@ class TestCorrLattice:
         assert ds / scale < 2e-2, ds
         assert bool(jnp.isfinite(st.astype(jnp.float32)).all())
 
+    def test_fused2_matches_fused(self):
+        """corr_lattice_fused2 (direct slice->MXU dots, no staging
+        round-trips) == corr_lattice_fused in the paired layout."""
+        from rampvo_tpu.ops.corr_pallas import (
+            corr_lattice_fused,
+            corr_lattice_fused2,
+        )
+
+        rng = np.random.RandomState(11)
+        NI, T, M, P, C = 4, 5, 8, 3, 128
+        MEM, H, W = 5, 40, 48
+        r = (T + 1) // 2
+        n = 6
+        gmap_r = jnp.asarray(rng.rand(MEM, M, P, P, C), jnp.bfloat16)
+        fmap1 = jnp.asarray(rng.rand(MEM, H, W, C), jnp.bfloat16)
+        fmap2 = jnp.asarray(rng.rand(MEM, H // 4, W // 4, C), jnp.bfloat16)
+        cen = rng.rand(NI, T, M, 1, 1, 2) * np.array([W + 8, H + 8]) - 4
+        off = rng.rand(NI, T, M, P, P, 2) * 4 - 2
+        coords = jnp.asarray(cen + off, jnp.float32)
+        i_row = np.arange(NI)[:, None]
+        tt = np.arange(T)[None, :]
+        i = n - 1 - np.mod(n - 1 - i_row, NI) + 0 * tt
+        j = i + tt - (r - 1)
+        cell_valid = jnp.asarray(
+            (i >= 0) & (j >= 0) & (j <= n - 1) & (rng.rand(NI, T) < 0.8)
+        )
+        slotmap = np.full(64, -1, np.int32)
+        for f in range(max(0, n - MEM + 1), n):
+            slotmap[f] = f % MEM
+        slotmap = jnp.asarray(slotmap)
+
+        a = corr_lattice_fused(
+            gmap_r, fmap1, fmap2, coords, cell_valid, jnp.int32(n),
+            slotmap, r, 3, interpret=True,
+        ).astype(jnp.float32)
+        b = corr_lattice_fused2(
+            gmap_r, fmap1, fmap2, coords, cell_valid, jnp.int32(n),
+            slotmap, r, 3, interpret=True,
+        ).astype(jnp.float32)
+        assert bool(jnp.isfinite(b).all())
+        scale = float(jnp.abs(a).max())
+        d = float(jnp.abs(a - b).max())
+        assert d / scale < 1e-2, d / scale
+
+    @pytest.mark.slow
     def test_folded_layout_permutation(self):
         """folded=True output + folded_corr_perm == reference stacked layout
         (so folding the permutation into corr_fc1's kernel is exact)."""
