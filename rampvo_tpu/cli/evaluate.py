@@ -16,6 +16,7 @@ import argparse
 import json
 import os
 import os.path as osp
+import traceback
 
 import numpy as np
 
@@ -177,13 +178,24 @@ def evaluate(net, trials=1, downsample_fact=1, config_VO=None, eval_cfg=None,
 
         results[scene] = {}
         for j in range(trials):
-            ate, rot, traj_est, ref, (points, colors) = evaluate_sequence(
-                config_VO, params, eval_cfg, data_list, traj_ref,
-                used_ts[frame_indices] if len(frame_indices) else used_ts,
-                use_pose_pred=test_.get("use_pose_pred", False),
-                seed=j,  # trials differ through the stochastic pieces
-                chunk=chunk,
-            )
+            # per-trial degradation: a crash inside one scene (compile
+            # failure, bad data) scores the ate=1000 sentinel instead of
+            # aborting the whole multi-scene run (ref: evaluate.py:308-310)
+            try:
+                ate, rot, traj_est, ref, (points, colors) = evaluate_sequence(
+                    config_VO, params, eval_cfg, data_list, traj_ref,
+                    used_ts[frame_indices] if len(frame_indices) else used_ts,
+                    use_pose_pred=test_.get("use_pose_pred", False),
+                    seed=j,  # trials differ through the stochastic pieces
+                    chunk=chunk,
+                )
+            except Exception as e:
+                traceback.print_exc()
+                print(f"\n {scene_name} trial {j} FAILED ({e}): ate=1000")
+                results[scene][f"trial_{j}"] = {
+                    "ate": 1000.0, "rot_err": [1000.0] * 3,
+                }
+                continue
             print(f"\n {scene_name} trial {j}: ate={ate:.4f} rot={rot}")
             eu.save_stamped_trajectories(
                 osp.join(save_dir, "full_data", f"trial_{j}", scene_name),

@@ -29,6 +29,34 @@ def scene(tmp_path_factory):
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
+
+def test_scene_crash_degrades_to_sentinel(scene, tmp_path, monkeypatch):
+    """A crash inside one scene scores ate=1000 instead of aborting the
+    run (ref: evaluate.py:308-310)."""
+    import rampvo_tpu.cli.evaluate as ev
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated per-scene failure")
+
+    monkeypatch.setattr(ev, "evaluate_sequence", boom)
+    monkeypatch.setattr(ev, "load_params", lambda net, mode: net)
+
+    eval_cfg = json.loads(json.dumps(synthetic.EVAL_CFG))
+    eval_cfg["data_loader"]["test"] = {
+        "test_split": [scene],
+        "dataset_name": "Synthetic",
+        "use_pose_pred": False,
+    }
+    results = ev.evaluate(
+        net={}, trials=2, config_VO=VOConfig(), eval_cfg=eval_cfg,
+        save_dir=str(tmp_path / "trajs"),
+    )
+    for j in range(2):
+        assert results[scene][f"trial_{j}"]["ate"] == 1000.0
+        assert results[scene][f"trial_{j}"]["rot_err"] == [1000.0] * 3
+
 
 @pytest.mark.parametrize("input_mode", ["MultiScale", "SingleScale"])
 def test_evaluate_cli_end_to_end(scene, tmp_path, input_mode):
