@@ -92,6 +92,7 @@ class TestMappingCompleteness:
          dict(evs_ch_dim=5, img_ch_dim=3, output_lstm_dim=15,
               output_dim_f=128, output_dim_i=384)),
     ])
+    @pytest.mark.slow
     def test_tree_matches_flax_init(self, ref_extractor, mode, cls, kw):
         enc = getattr(ref_extractor, cls)(**kw)
         sd = {

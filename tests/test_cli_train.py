@@ -12,6 +12,8 @@ import pytest
 
 import synthetic
 
+pytestmark = pytest.mark.slow
+
 H, W, NF = 32, 48, 8
 
 

@@ -11,6 +11,7 @@ from rampvo_tpu.geometry.projective import (
 )
 from rampvo_tpu.lie import SE3, ops as lops
 from rampvo_tpu.vo import VOConfig
+import pytest
 
 
 def _random_setup(seed=0, Np=4, M=10):
@@ -74,6 +75,7 @@ class TestVOConfigYaml:
 
 
 class TestProbeGate:
+    @pytest.mark.slow
     def test_probe_skips_frames_below_threshold(self):
         """With PROBE_THRESH=+inf every pre-init frame after the first is
         skipped (the probe median is always below it): n stays 1 while the

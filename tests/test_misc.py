@@ -92,6 +92,7 @@ class TestParallel:
         # gradient actually applied (replicated result)
         assert not np.allclose(np.asarray(p2["w"]), 1.0)
 
+    @pytest.mark.slow
     def test_mesh_train_step_real_model_matches_single_device(self):
         """DP correctness of the ACTUAL model: TrainForward sharded over the
         8-device mesh must produce the same loss and updated params as an

@@ -19,6 +19,7 @@ from rampvo_tpu.models.encoders import MultiScaleEncoder
 from rampvo_tpu.vo import RampVO, VOConfig
 from rampvo_tpu.vo.pose_prediction import motion_bootstrap
 from rampvo_tpu.vo.runtime import make_vo_frame
+import pytest
 
 H, W = 60, 80
 N_FRAMES = 14
@@ -59,6 +60,7 @@ def _make_oracle(gt_w2c_j, M):
     return oracle
 
 
+@pytest.mark.slow
 def test_spline_prediction_beats_motion_bootstrap():
     images, poses_c2w, intr = synthetic.render_sequence(
         N_FRAMES + HORIZON, H, W, motion="curve"

@@ -6,6 +6,7 @@ import numpy as np
 
 from rampvo_tpu.geometry import iproj, proj, transform, point_cloud, flow_mag
 from rampvo_tpu.lie import SE3
+import pytest
 
 
 def make_scene(key, n_frames=4, n_patches=12, P=3):
@@ -47,6 +48,7 @@ def test_iproj_proj_inverse():
     )
 
 
+@pytest.mark.slow
 def test_jacobians_match_autodiff():
     """Analytic pose/depth Jacobians == autodiff of the projection chain."""
     poses, patches, intr, ix = make_scene(jax.random.PRNGKey(2))

@@ -82,6 +82,7 @@ def fwd_setup():
     return vonet, params, fwd, batch
 
 
+@pytest.mark.slow
 class TestTrainForward:
     def test_forward_finite(self, fwd_setup):
         vonet, params, fwd, b = fwd_setup

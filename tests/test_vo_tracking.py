@@ -19,6 +19,8 @@ from rampvo_tpu.vo import VOConfig
 from rampvo_tpu.vo.runtime import make_final_updates, make_vo_frame
 from rampvo_tpu.vo.state import init_state
 
+pytestmark = pytest.mark.slow
+
 H, W = 60, 80
 N_FRAMES = 18
 
