@@ -28,7 +28,9 @@ BASE = dict(
 
 VARIANTS = [
     ("all-new", {}),
+    ("corr=fused2", {"CORR_LAYOUT": "fused2"}),
     ("enc=pallas", {"PALLAS_ENCODER": True}),
+    ("fused2+penc", {"CORR_LAYOUT": "fused2", "PALLAS_ENCODER": True}),
     ("corr=paired", {"CORR_LAYOUT": "paired"}),
     ("corr=folded", {"CORR_LAYOUT": "folded"}),
     ("all-old", {"FUSED_ENCODER": False, "CORR_LAYOUT": "folded",
