@@ -36,12 +36,16 @@ class VOConfig:
     CORR_IMPL: str = "auto"
 
     # lattice-path implementation toggles (A/B-able; defaults = fastest
-    # measured). CORR_LAYOUT: "fused" = in-kernel binary-roll alignment +
-    # compaction + blend (corr_lattice_fused), "fused2" = fused without the
-    # staging round-trips (direct slice->MXU dots, pipelined scalar
-    # columns — corr_lattice_fused2), "paired" = in-kernel compaction + XLA
-    # lane-shift blend (corr_lattice_compact), "folded" = stacked band
-    # kernel + XLA band finish (corr_lattice2_stacked).
+    # measured). CORR_LAYOUT: "fused2" (DEFAULT) = binary-roll alignment +
+    # compaction + blend in-kernel WITHOUT staging round-trips (direct
+    # slice->MXU dots, pipelined scalar columns — corr_lattice_fused2);
+    # "fused" = the staged variant (corr_lattice_fused). Both use only
+    # STATIC-amount rolls — the only construct that lowers correctly on
+    # real hardware. "paired"/"folded" (corr_lattice_compact /
+    # corr_lattice2_stacked) use per-window DYNAMIC-amount pltpu.roll,
+    # which SILENTLY MISCOMPILES on the TPU (r03 finding: interpret-mode
+    # green, 1.0 rel garbage on chip — scripts/check_layouts_onchip.py);
+    # they remain as CPU/interpret reference implementations only.
     # False: the fused single-step encoder (models/encoders_fused.py)
     # measured +3.0 ms SLOWER than the straight flax path in-frame
     # (scripts/ab_frame_variants.py — grouped convs + gate matmul lose)
@@ -50,7 +54,7 @@ class VOConfig:
     # (ops/encoder_pallas.py) — removes the NHWC lane-padding tax on the
     # C<=32 intermediates; heads stay flax
     PALLAS_ENCODER: bool = False
-    CORR_LAYOUT: str = "fused"
+    CORR_LAYOUT: str = "fused2"
     CELL_REPROJECT: bool = True  # per-cell relative poses in reprojection
     CELL_LINEARIZE: bool = True  # per-cell linearization inside ba_infer
     BA_ITERS: int = 2            # GN iterations per update (Ramp_vo.py:304)

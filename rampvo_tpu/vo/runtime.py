@@ -44,7 +44,6 @@ from ..ops.corr_pallas import (
     corr_lattice_compact,
     corr_lattice_fused,
     corr_lattice_fused2,
-    corr_pallas2,
     folded_corr_perm,
     paired_corr_perm,
 )
@@ -239,6 +238,8 @@ def _edge_corr_ctx_lattice(cfg: VOConfig, state: VOState, ii, jj, kk):
         kfn = {
             "fused": corr_lattice_fused,
             "fused2": corr_lattice_fused2,
+            # "paired" (corr_lattice_compact) is CPU/interpret-only: its
+            # dynamic-amount rolls miscompile on real TPUs (config.py note)
             "paired": corr_lattice_compact,
         }[cfg.CORR_LAYOUT]
         corr_in = kfn(
@@ -301,15 +302,15 @@ def _edge_corr_ctx(cfg: VOConfig, state: VOState, ii, jj, kk):
         :, RING_PAD:RING_PAD + h4 // 4, RING_PAD:RING_PAD + w4 // 4
     ]
     impl = _resolve_corr_impl(cfg)
-    if impl == "lattice_interpret":
-        impl = "xla"  # CPU run: exact XLA path for the probe edge set
-    if impl in ("pallas", "lattice"):
-        # the lattice kernel only fits the full edge set; arbitrary edge
-        # lists (the motion probe) use the sorted-group kernel
-        c1, c2 = corr_pallas2(
-            gmap_flat, fmap1, fmap2, coords, gidx, slot_j, 3
-        )
-    elif impl == "region":
+    if impl in ("lattice_interpret", "pallas", "lattice"):
+        # exact XLA for arbitrary edge lists. corr_pallas2 used to serve
+        # this path on TPU, but its per-window DYNAMIC-amount pltpu.roll
+        # silently miscompiles on real hardware (r03 finding — interpret
+        # mode green, 1.0 rel garbage on chip; scripts/
+        # check_layouts_onchip.py); the probe edge set is M-sized and
+        # pre-init only, so the exact XLA gather costs nothing here.
+        impl = "xla"
+    if impl == "region":
         E = coords.shape[0]
         ch = 8 if E % 8 == 0 and E > 16384 else 1
         c1 = corr_region(gmap_flat, fmap1, coords, gidx, slot_j, 3,

@@ -62,20 +62,19 @@ def main():
             slotmap, r, 3)
 
     a = corr_lattice_fused(*args)
-    b = corr_lattice_fused2(*args)
-    scale = float(jnp.abs(a.astype(jnp.float32)).max())
-    d = float(jnp.abs(
-        a.astype(jnp.float32) - b.astype(jnp.float32)
-    ).max())
-    print(f"on-chip fused2 vs fused parity: {d/scale:.2e} rel "
-          f"(scale {scale:.1f})", flush=True)
-    assert np.isfinite(np.asarray(b, np.float32)).all()
-    assert d / scale < 1e-2, d / scale
-
+    for name2, fn2 in (("fused2", corr_lattice_fused2),):
+        b = fn2(*args)
+        scale = float(jnp.abs(a.astype(jnp.float32)).max())
+        d = float(jnp.abs(
+            a.astype(jnp.float32) - b.astype(jnp.float32)
+        ).max())
+        print(f"on-chip {name2} vs fused parity: {d/scale:.2e} rel",
+              flush=True)
+        assert np.isfinite(np.asarray(b, np.float32)).all()
+        assert d / scale < 1e-2, d / scale
     for name, fn in (
         ("fused", corr_lattice_fused),
         ("fused2", corr_lattice_fused2),
-        ("compact", corr_lattice_compact),
     ):
         t = timeit(lambda fn=fn: fn(*args))
         print(f"{name:8s} {t:6.2f} ms", flush=True)

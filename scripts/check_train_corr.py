@@ -5,11 +5,17 @@
 Run: PYTHONPATH=.:/root/.axon_site python scripts/check_train_corr.py
 """
 
+import sys
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_platforms", "cpu")
+# --tpu: run the Pallas kernels Mosaic-lowered on the real chip (the r03
+# dynamic-rotate finding: interpret green does NOT imply chip-correct)
+INTERP = "--tpu" not in sys.argv
+if INTERP:
+    jax.config.update("jax_platforms", "cpu")
 
 from rampvo_tpu.ops.corr import corr_stack, corr_train
 from rampvo_tpu.ops.corr_pallas import (
@@ -40,7 +46,7 @@ def main():
 
     out = corr_train_fused(
         gmap, fmap1, fmap2, coords, kk, jjj,
-        (sched["src"], sched["inv"]), sched["tabs"], 3, 32, True,
+        (sched["src"], sched["inv"]), sched["tabs"], 3, 32, INTERP,
     )
     assert out.shape == (E, P * P * 128)
 
@@ -78,7 +84,7 @@ def main():
     def f_fused(g, f1, f2):
         return corr_train_fused(
             g, f1, f2, coords, kk, jjj,
-            (sched["src"], sched["inv"]), sched["tabs"], 3, 32, True,
+            (sched["src"], sched["inv"]), sched["tabs"], 3, 32, INTERP,
         )
 
     def f_ref(g, f1, f2):

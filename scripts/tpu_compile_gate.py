@@ -117,7 +117,9 @@ def gate_layouts():
     from rampvo_tpu.vo.runtime import make_vo_frame
 
     H, W = 480, 640
-    for layout in ("paired", "folded"):
+    # only the hardware-safe layouts (static-amount rolls); paired/folded
+    # are CPU/interpret-only — their dynamic rolls miscompile on real TPUs
+    for layout in ("fused",):
         cfg = VOConfig(BUFFER_SIZE=512, MAX_FRAMES=512,
                        PATCHES_PER_FRAME=96, MIXED_PRECISION=True,
                        PROBE_THRESH=-1.0, KEYFRAME_THRESH=0.0,

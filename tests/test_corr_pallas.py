@@ -168,14 +168,15 @@ class TestCorrLattice:
             gmap_r, fmap1, fmap2, coords, cell_valid, jnp.int32(n),
             slotmap, r, 3, interpret=True,
         ).astype(jnp.float32)
-        b = corr_lattice_fused2(
-            gmap_r, fmap1, fmap2, coords, cell_valid, jnp.int32(n),
-            slotmap, r, 3, interpret=True,
-        ).astype(jnp.float32)
-        assert bool(jnp.isfinite(b).all())
         scale = float(jnp.abs(a).max())
-        d = float(jnp.abs(a - b).max())
-        assert d / scale < 1e-2, d / scale
+        for fn in (corr_lattice_fused2,):
+            b = fn(
+                gmap_r, fmap1, fmap2, coords, cell_valid, jnp.int32(n),
+                slotmap, r, 3, interpret=True,
+            ).astype(jnp.float32)
+            assert bool(jnp.isfinite(b).all())
+            d = float(jnp.abs(a - b).max())
+            assert d / scale < 1e-2, (fn.__name__, d / scale)
 
     @pytest.mark.slow
     def test_folded_layout_permutation(self):
