@@ -872,7 +872,9 @@ def _kernel_lat_fused(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref, out_ref,
 
 def _kernel_lat_fused2(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref, vcol_ref,
                        out_ref, scratch1, scratch2, rs0, rs1, last_slot,
-                       sem1, sem2, *, C, PP, D, M, NI):
+                       sem1, sem2, *, C, PP, D, M, NI, ablate=(),
+                       pin_inputs=False, rs2d=False, vreg=False,
+                       bf16s=False):
     """_kernel_lat_fused without the staging round-trips.
 
     The fused kernel's cost is NOT the MXU work (~0.5 ms of dots at bench
@@ -892,7 +894,13 @@ def _kernel_lat_fused2(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref, vcol_ref,
         SMEM->VMEM stores per gang.
 
     Same contract as _kernel_lat_fused (paired 128-lane blended output).
-    Ref semantics: altcorr/correlation_kernel.cu:83-136,221-232."""
+    Ref semantics: altcorr/correlation_kernel.cu:83-136,221-232.
+
+    `ablate` (static, TIMING ONLY — output is garbage): drop kernel phases
+    to attribute on-chip cost. "dots" zeroes rs instead of the MXU dots
+    (also removes the tile VMEM reads), "rolls" skips the binary alignment
+    rolls, "smat" replaces the S extraction matmul with a slice, "blend"
+    skips the bilinear lane rolls."""
     b = pl.program_id(0)
     valid = tabs[b, 4] < NI
     slot = tabs[b, 2]
@@ -921,16 +929,90 @@ def _kernel_lat_fused2(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref, vcol_ref,
         lane = jax.lax.broadcasted_iota(jnp.int32, (GANG * PP, 64), 1)
         good = ((lane // 8) < D - 1) & ((lane % 8) < D - 1)
 
+        if vreg:
+            # per-EDGE pipeline fully in VREGs: the [GANG*PP, TY*TX] roll
+            # scratch round-trip (2x 110 KB write + readback per gang-
+            # level) measured ~15 ms/call at bench shapes — the true
+            # "fixed cost" of the gang formulation. Rolls/extraction run
+            # on [PP, TY*TX] (9 sublanes pad to 16 -> ~1.8x VPU waste on
+            # the rolls) but never touch VMEM.
+            lane_e = jax.lax.broadcasted_iota(jnp.int32, (PP, 64), 1)
+            good_e = ((lane_e // 8) < D - 1) & ((lane_e % 8) < D - 1)
+
+            def edge_gang_v(i, carry):
+                gi = tabs[b, 3] if pin_inputs else 0
+                g_gang = g_ref[gi, pl.ds(i * GANG * PP, GANG * PP), :]
+                vg = vcol_ref[0, 0, pl.ds(i * GANG * PP, GANG * PP), :]
+                for u in range(GANG):
+                    e = i * GANG + u
+                    g_u = g_gang[u * PP:(u + 1) * PP, :]    # [PP, C]
+                    v2 = vg[u * PP:(u + 1) * PP, :]         # [PP, 2]
+                    outs_e = []
+                    for lvl, scratch in ((0, scratch1), (1, scratch2)):
+                        tile = scratch[
+                            pl.ds(scal_ref[0, 0, e, 2 * lvl], TY),
+                            pl.ds(
+                                pl.multiple_of(
+                                    scal_ref[0, 0, e, 2 * lvl + 1], 8
+                                ),
+                                TX,
+                            ),
+                            :,
+                        ]
+                        r_ = jax.lax.dot_general(
+                            g_u, tile.reshape(TY * TX, C),
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )                                   # [PP, TY*TX]
+                        v_ = v2[:, lvl:lvl + 1]             # [PP, 1]
+                        off = v_ & 255
+                        for bit in range(8):
+                            rolled = pltpu.roll(
+                                r_, TY * TX - (1 << bit), 1)
+                            r_ = jnp.where(
+                                ((off >> bit) & 1) == 1, rolled, r_)
+                        c = jax.lax.dot_general(
+                            r_[:, : D * TX], S,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )                                   # [PP, 64]
+                        fx = ((v_ >> 8) & 1023).astype(
+                            jnp.float32) * (1.0 / 1024.0)
+                        fy = ((v_ >> 18) & 1023).astype(
+                            jnp.float32) * (1.0 / 1024.0)
+                        okm = ((v_ >> 28) & 1).astype(jnp.float32)
+                        out_l = okm * (
+                            (1 - fy) * (1 - fx) * c
+                            + (1 - fy) * fx * pltpu.roll(c, 63, 1)
+                            + fy * (1 - fx) * pltpu.roll(c, 56, 1)
+                            + fy * fx * pltpu.roll(c, 55, 1)
+                        )
+                        outs_e.append(jnp.where(good_e, out_l, 0.0))
+                    pair_e = jnp.concatenate(outs_e, axis=1)  # [PP, 128]
+                    out_ref[0, 0, e] = pair_e.astype(out_ref.dtype)
+                return carry
+
+            jax.lax.fori_loop(0, M // GANG, edge_gang_v, 0)
+            return
+
         def edge_gang(i, carry):
             # one aligned [GANG*PP, C] load; per-edge rows sliced STATICALLY
             # (dynamic 9-row loads are not 8-aligned and fail Mosaic layout)
-            g_gang = g_ref[0, pl.ds(i * GANG * PP, GANG * PP), :]
+            gi = tabs[b, 3] if pin_inputs else 0
+            g_gang = g_ref[gi, pl.ds(i * GANG * PP, GANG * PP), :]
             for u in range(GANG):
                 e = i * GANG + u
                 g_u = g_gang[u * PP:(u + 1) * PP, :]        # [PP, C]
                 for lvl, rs, scratch in (
                     (0, rs0, scratch1), (1, rs1, scratch2)
                 ):
+                    if "dots" in ablate:
+                        if rs2d:
+                            rs[u * PP:(u + 1) * PP, :] = jnp.zeros(
+                                (PP, TY * TX), rs.dtype)
+                        else:
+                            rs[u] = jnp.zeros((PP, TY * TX), rs.dtype)
+                        continue
                     tile = scratch[
                         pl.ds(scal_ref[0, 0, e, 2 * lvl], TY),
                         pl.ds(
@@ -941,45 +1023,81 @@ def _kernel_lat_fused2(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref, vcol_ref,
                         ),
                         :,
                     ]
-                    rs[u] = jax.lax.dot_general(
+                    dm = jax.lax.dot_general(
                         g_u, tile.reshape(TY * TX, C),
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     ).astype(rs.dtype)
+                    if rs2d:
+                        # flat [GANG*PP, TY*TX] scratch: STATIC (python-
+                        # int) unaligned sublane offsets; no 9->16 sublane
+                        # padding, no reshape relayout on readback
+                        rs[u * PP:(u + 1) * PP, :] = dm
+                    else:
+                        rs[u] = dm
 
             outs = []
             for lvl, rs in ((0, rs0), (1, rs1)):
-                r_ = rs[...].reshape(GANG * PP, TY * TX)
-                v_ = vcol_ref[
-                    0, 0, pl.ds(i * GANG * PP, GANG * PP), pl.ds(lvl, 1)
-                ]                                  # [GANG*PP, 1]
+                r_ = rs[...] if rs2d else rs[...].reshape(
+                    GANG * PP, TY * TX)
+                if bf16s:
+                    # bf16 staging halves the scratch round-trip bytes;
+                    # convert BEFORE the rolls (Mosaic dynamic_rotate is
+                    # 32-bit-only — rolling bf16 directly was the r02
+                    # Mosaic regression)
+                    r_ = r_.astype(jnp.float32)
+                if "novcol" in ablate:  # timing: kill the minor-dim-2
+                    # per-step vcol DMA (suspect: 864 strided descriptors
+                    # into a 128-lane-padded window)
+                    v_ = jnp.full((GANG * PP, 1), (1 << 28) | 37, jnp.int32)
+                else:
+                    v_ = vcol_ref[
+                        0, 0, pl.ds(i * GANG * PP, GANG * PP), pl.ds(lvl, 1)
+                    ]                              # [GANG*PP, 1]
                 off = v_ & 255
-                for bit in range(8):
-                    rolled = pltpu.roll(r_, TY * TX - (1 << bit), 1)
-                    r_ = jnp.where(((off >> bit) & 1) == 1, rolled, r_)
-                c = jax.lax.dot_general(
-                    r_[:, : D * TX], S,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [GANG*PP, 64]
+                if "rolls" not in ablate:
+                    for bit in range(8):
+                        rolled = pltpu.roll(r_, TY * TX - (1 << bit), 1)
+                        r_ = jnp.where(((off >> bit) & 1) == 1, rolled, r_)
+                if "smat" in ablate:
+                    c = r_[:, :64]
+                else:
+                    c = jax.lax.dot_general(
+                        r_[:, : D * TX], S,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [GANG*PP, 64]
                 fx = ((v_ >> 8) & 1023).astype(jnp.float32) * (1.0 / 1024.0)
                 fy = ((v_ >> 18) & 1023).astype(jnp.float32) * (1.0 / 1024.0)
                 okm = ((v_ >> 28) & 1).astype(jnp.float32)
-                out_l = okm * (
-                    (1 - fy) * (1 - fx) * c
-                    + (1 - fy) * fx * pltpu.roll(c, 63, 1)
-                    + fy * (1 - fx) * pltpu.roll(c, 56, 1)
-                    + fy * fx * pltpu.roll(c, 55, 1)
-                )
+                if "blend" in ablate:
+                    out_l = okm * c
+                else:
+                    out_l = okm * (
+                        (1 - fy) * (1 - fx) * c
+                        + (1 - fy) * fx * pltpu.roll(c, 63, 1)
+                        + fy * (1 - fx) * pltpu.roll(c, 56, 1)
+                        + fy * fx * pltpu.roll(c, 55, 1)
+                    )
                 outs.append(jnp.where(good, out_l, 0.0))
 
             pair = jnp.concatenate(outs, axis=1)  # [GANG*PP, 128]
-            out_ref[0, 0, pl.ds(i * GANG, GANG)] = pair.astype(
-                out_ref.dtype
-            ).reshape(GANG, PP, 128)
+            if "nostore" in ablate:  # timing: VREG->VMEM store + relayout
+                if rs2d:
+                    rs0[:, :128] = pair
+                else:
+                    rs0[:, :, :128] = pair.reshape(GANG, PP, 128)
+            else:
+                out_ref[0, 0, pl.ds(i * GANG, GANG)] = pair.astype(
+                    out_ref.dtype
+                ).reshape(GANG, PP, 128)
             return carry
 
-        jax.lax.fori_loop(0, M // GANG, edge_gang, 0)
+        if "unroll" in ablate:  # timing: fori_loop bookkeeping probe
+            for _i in range(M // GANG):
+                edge_gang(_i, 0)
+        else:
+            jax.lax.fori_loop(0, M // GANG, edge_gang, 0)
 
 
 RING_PAD = 24  # = 3*D for D=8 (radius-3 windows)
@@ -1712,16 +1830,28 @@ def corr_lattice_fused(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("r", "radius", "interpret", "prepadded", "hw")
+    jax.jit,
+    static_argnames=("r", "radius", "interpret", "prepadded", "hw", "ablate",
+                     "pin_inputs", "rs2d", "vreg", "bf16s"),
 )
 def corr_lattice_fused2(
     gmap_r, fmap1, fmap2, coords, cell_valid, n, slotmap,
     r: int, radius: int = 3, interpret: bool = False,
-    prepadded: bool = False, hw=None,
+    prepadded: bool = False, hw=None, ablate=(), pin_inputs: bool = True,
+    rs2d: bool = False, vreg: bool = False, bf16s: bool = False,
 ) -> jnp.ndarray:
     """corr_lattice_fused via `_kernel_lat_fused2` (direct slice->MXU dots,
     no staging round-trips, pipelined scalar columns). Same contract:
-    [NI*T*M, PP*128] bf16 paired layout."""
+    [NI*T*M, PP*128] bf16 paired layout. `ablate`: timing-only phase drops
+    (see _kernel_lat_fused2) — never set in production.
+
+    `pin_inputs=True` (default): the gmap ring and the packed per-window
+    scalar columns enter as WHOLE arrays with constant block indices, so
+    Pallas DMAs them into VMEM once instead of re-issuing two input-block
+    DMAs per valid cell (~625 cells x 2 x ~6 us issue latency — the phase
+    ablation measured the kernel 61% fixed-cost, dominated by DMA issues,
+    not compute). Costs ~13 MB extra VMEM; the kernel indexes the ring
+    slot / lattice cell directly."""
     NI, T, M, P, _, _ = coords.shape
     if prepadded:
         MEM, C = fmap1.shape[0], fmap1.shape[3]
@@ -1761,37 +1891,67 @@ def corr_lattice_fused2(
 
     gflat = gmap_r.reshape(MEM, M * PP, C)
 
+    # pinned: the whole gmap ring enters as ONE constant-index block (8.8 MB
+    # at bench shapes, lane dim C=128 so no padding blowup) -> loaded once.
+    # vcol CANNOT be pinned the same way: its last dim (2) pads to 128
+    # lanes in VMEM, so the full array would allocate 64x its real size
+    # (276 MB > VMEM); it stays a per-step block.
+    if pin_inputs:
+        g_spec = pl.BlockSpec((MEM, M * PP, C), lambda b, tb: (0, 0, 0))
+    else:
+        g_spec = pl.BlockSpec((1, M * PP, C), lambda b, tb: (tb[b, 3], 0, 0))
+    if "novcol" in ablate:  # timing: constant index -> one DMA total
+        vcol_spec = pl.BlockSpec(
+            (1, 1, M * PP, 2), lambda b, tb: (0, 0, 0, 0)
+        )
+    else:
+        vcol_spec = pl.BlockSpec(
+            (1, 1, M * PP, 2), lambda b, tb: (tb[b, 0], tb[b, 1], 0, 0)
+        )
+    if "noscal" in ablate:  # timing: constant scal index -> one SMEM DMA
+        scal_spec = pl.BlockSpec(
+            (1, 1, M, 4), lambda b, tb: (0, 0, 0, 0),
+            memory_space=pltpu.SMEM,
+        )
+    else:
+        scal_spec = pl.BlockSpec(
+            (1, 1, M, 4), lambda b, tb: (tb[b, 0], tb[b, 1], 0, 0),
+            memory_space=pltpu.SMEM,
+        )
+    if "pinout" in ablate:  # timing: every step writes the trash row
+        out_spec = pl.BlockSpec(
+            (1, 1, M, PP, 128), lambda b, tb: (NI, 0, 0, 0, 0)
+        )
+    else:
+        out_spec = pl.BlockSpec(
+            (1, 1, M, PP, 128), lambda b, tb: (tb[b, 4], tb[b, 1], 0, 0, 0)
+        )
     out = pl.pallas_call(
-        functools.partial(_kernel_lat_fused2, C=C, PP=PP, D=D, M=M, NI=NI),
+        functools.partial(_kernel_lat_fused2, C=C, PP=PP, D=D, M=M, NI=NI,
+                          ablate=tuple(ablate), pin_inputs=pin_inputs,
+                          rs2d=rs2d, vreg=vreg, bf16s=bf16s),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(NB,),
+            grid=(NB // 2 if "halfgrid" in ablate else NB,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),
                 pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(
-                    (1, M * PP, C), lambda b, tb: (tb[b, 3], 0, 0)
-                ),
-                pl.BlockSpec(
-                    (1, 1, M, 4),
-                    lambda b, tb: (tb[b, 0], tb[b, 1], 0, 0),
-                    memory_space=pltpu.SMEM,
-                ),
-                pl.BlockSpec(
-                    (1, 1, M * PP, 2),
-                    lambda b, tb: (tb[b, 0], tb[b, 1], 0, 0),
-                ),
+                g_spec,
+                scal_spec,
+                vcol_spec,
             ],
-            out_specs=pl.BlockSpec(
-                (1, 1, M, PP, 128),
-                lambda b, tb: (tb[b, 4], tb[b, 1], 0, 0, 0),
-            ),
+            out_specs=out_spec,
             scratch_shapes=[
                 pltpu.VMEM((Hp1, Wp1, C), fmap1.dtype),
                 pltpu.VMEM((Hp2, Wp2, C), fmap2.dtype),
-                # f32: Mosaic rotate needs 32-bit lanes
-                pltpu.VMEM((GANG, PP, TY * TX), jnp.float32),
-                pltpu.VMEM((GANG, PP, TY * TX), jnp.float32),
+                # f32 default: Mosaic rotate needs 32-bit lanes (bf16s
+                # stages bf16 and converts after readback, before rolls)
+                pltpu.VMEM(
+                    (GANG * PP, TY * TX) if rs2d else (GANG, PP, TY * TX),
+                    jnp.bfloat16 if bf16s else jnp.float32),
+                pltpu.VMEM(
+                    (GANG * PP, TY * TX) if rs2d else (GANG, PP, TY * TX),
+                    jnp.bfloat16 if bf16s else jnp.float32),
                 pltpu.SMEM((1,), jnp.int32),
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,

@@ -62,22 +62,32 @@ def main():
             slotmap, r, 3)
 
     a = corr_lattice_fused(*args)
-    for name2, fn2 in (("fused2", corr_lattice_fused2),):
-        b = fn2(*args)
-        scale = float(jnp.abs(a.astype(jnp.float32)).max())
-        d = float(jnp.abs(
-            a.astype(jnp.float32) - b.astype(jnp.float32)
-        ).max())
-        print(f"on-chip {name2} vs fused parity: {d/scale:.2e} rel",
-              flush=True)
-        assert np.isfinite(np.asarray(b, np.float32)).all()
-        assert d / scale < 1e-2, d / scale
-    for name, fn in (
-        ("fused", corr_lattice_fused),
-        ("fused2", corr_lattice_fused2),
-    ):
-        t = timeit(lambda fn=fn: fn(*args))
-        print(f"{name:8s} {t:6.2f} ms", flush=True)
+    scale = float(jnp.abs(a.astype(jnp.float32)).max())
+
+    VARIANTS = [
+        ("fused", corr_lattice_fused, {}),
+        ("fused2(pin)", corr_lattice_fused2, {}),
+        ("fused2 nopin", corr_lattice_fused2, {"pin_inputs": False}),
+        ("fused2 rs2d", corr_lattice_fused2, {"rs2d": True}),
+        ("fused2 bf16s", corr_lattice_fused2, {"bf16s": True}),
+        ("fused2 vreg", corr_lattice_fused2, {"vreg": True}),
+        ("fused2 rs2d+bf16s", corr_lattice_fused2,
+         {"rs2d": True, "bf16s": True}),
+    ]
+    for name, fn, kw in VARIANTS:
+        try:
+            b = fn(*args, **kw)
+            d = float(jnp.abs(
+                a.astype(jnp.float32) - b.astype(jnp.float32)
+            ).max())
+            assert np.isfinite(np.asarray(b, np.float32)).all()
+            assert d / scale < 1e-2, d / scale
+            t = timeit(lambda fn=fn, kw=kw: fn(*args, **kw))
+            print(f"{name:18s} {t:6.2f} ms   parity {d/scale:.2e} rel",
+                  flush=True)
+        except Exception as e:
+            print(f"{name:18s} FAILED: {type(e).__name__}: "
+                  f"{str(e)[:200]}", flush=True)
 
 
 if __name__ == "__main__":

@@ -9,9 +9,9 @@ or training run will hit:
 
   entry     __graft_entry__.entry() — flagship MultiScale vo_frame
   bench     vo_frame + chunked step at the exact bench shapes (480x640, 96
-            patches, CORR_LAYOUT=fused)
-  layouts   vo_frame at bench shapes with the alternate corr layouts
-            (paired, folded) — keeps the A/B matrix compilable
+            patches, default CORR_LAYOUT)
+  layouts   vo_frame at bench shapes with every hardware-safe corr layout
+            (fused2, fused) — keeps the A/B matrix compilable
   encoders  vo_frame with PALLAS_ENCODER=True, both families
   train     value_and_grad of TrainForward with the fused training corr
             (corr_sched_fused forward + corr_sched_bwd backward)
@@ -119,7 +119,7 @@ def gate_layouts():
     H, W = 480, 640
     # only the hardware-safe layouts (static-amount rolls); paired/folded
     # are CPU/interpret-only — their dynamic rolls miscompile on real TPUs
-    for layout in ("fused",):
+    for layout in ("fused2", "fused"):
         cfg = VOConfig(BUFFER_SIZE=512, MAX_FRAMES=512,
                        PATCHES_PER_FRAME=96, MIXED_PRECISION=True,
                        PROBE_THRESH=-1.0, KEYFRAME_THRESH=0.0,
