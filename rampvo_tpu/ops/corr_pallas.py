@@ -874,7 +874,7 @@ def _kernel_lat_fused2(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref, vcol_ref,
                        out_ref, scratch1, scratch2, rs0, rs1, last_slot,
                        sem1, sem2, *, C, PP, D, M, NI, ablate=(),
                        pin_inputs=False, rs2d=False, vreg=False,
-                       bf16s=False):
+                       bf16s=False, vcat=False):
     """_kernel_lat_fused without the staging round-trips.
 
     The fused kernel's cost is NOT the MXU work (~0.5 ms of dots at bench
@@ -1000,6 +1000,7 @@ def _kernel_lat_fused2(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref, vcol_ref,
             # (dynamic 9-row loads are not 8-aligned and fail Mosaic layout)
             gi = tabs[b, 3] if pin_inputs else 0
             g_gang = g_ref[gi, pl.ds(i * GANG * PP, GANG * PP), :]
+            dms = ([], [])  # vcat: per-edge dot results stay in VREGs
             for u in range(GANG):
                 e = i * GANG + u
                 g_u = g_gang[u * PP:(u + 1) * PP, :]        # [PP, C]
@@ -1007,6 +1008,8 @@ def _kernel_lat_fused2(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref, vcol_ref,
                     (0, rs0, scratch1), (1, rs1, scratch2)
                 ):
                     if "dots" in ablate:
+                        if "nors" in ablate or vcat:
+                            continue
                         if rs2d:
                             rs[u * PP:(u + 1) * PP, :] = jnp.zeros(
                                 (PP, TY * TX), rs.dtype)
@@ -1028,7 +1031,11 @@ def _kernel_lat_fused2(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref, vcol_ref,
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     ).astype(rs.dtype)
-                    if rs2d:
+                    if vcat:
+                        # never touch VMEM: gang-concatenate in VREGs
+                        # (sublane relayout) instead of rs store+readback
+                        dms[lvl].append(dm)
+                    elif rs2d:
                         # flat [GANG*PP, TY*TX] scratch: STATIC (python-
                         # int) unaligned sublane offsets; no 9->16 sublane
                         # padding, no reshape relayout on readback
@@ -1038,8 +1045,14 @@ def _kernel_lat_fused2(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref, vcol_ref,
 
             outs = []
             for lvl, rs in ((0, rs0), (1, rs1)):
-                r_ = rs[...] if rs2d else rs[...].reshape(
-                    GANG * PP, TY * TX)
+                if "nors" in ablate:  # timing: isolate the rs scratch
+                    # round-trip (write+readback+reshape) within "fixed"
+                    r_ = jnp.zeros((GANG * PP, TY * TX), jnp.float32)
+                elif vcat:
+                    r_ = jnp.concatenate(dms[lvl], axis=0)
+                else:
+                    r_ = rs[...] if rs2d else rs[...].reshape(
+                        GANG * PP, TY * TX)
                 if bf16s:
                     # bf16 staging halves the scratch round-trip bytes;
                     # convert BEFORE the rolls (Mosaic dynamic_rotate is
@@ -1832,13 +1845,14 @@ def corr_lattice_fused(
 @functools.partial(
     jax.jit,
     static_argnames=("r", "radius", "interpret", "prepadded", "hw", "ablate",
-                     "pin_inputs", "rs2d", "vreg", "bf16s"),
+                     "pin_inputs", "rs2d", "vreg", "bf16s", "vcat"),
 )
 def corr_lattice_fused2(
     gmap_r, fmap1, fmap2, coords, cell_valid, n, slotmap,
     r: int, radius: int = 3, interpret: bool = False,
     prepadded: bool = False, hw=None, ablate=(), pin_inputs: bool = True,
     rs2d: bool = False, vreg: bool = False, bf16s: bool = False,
+    vcat: bool = False,
 ) -> jnp.ndarray:
     """corr_lattice_fused via `_kernel_lat_fused2` (direct slice->MXU dots,
     no staging round-trips, pipelined scalar columns). Same contract:
@@ -1929,7 +1943,7 @@ def corr_lattice_fused2(
     out = pl.pallas_call(
         functools.partial(_kernel_lat_fused2, C=C, PP=PP, D=D, M=M, NI=NI,
                           ablate=tuple(ablate), pin_inputs=pin_inputs,
-                          rs2d=rs2d, vreg=vreg, bf16s=bf16s),
+                          rs2d=rs2d, vreg=vreg, bf16s=bf16s, vcat=vcat),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(NB // 2 if "halfgrid" in ablate else NB,),

@@ -73,6 +73,7 @@ def main():
         ("fused2 vreg", corr_lattice_fused2, {"vreg": True}),
         ("fused2 rs2d+bf16s", corr_lattice_fused2,
          {"rs2d": True, "bf16s": True}),
+        ("fused2 vcat", corr_lattice_fused2, {"vcat": True}),
     ]
     for name, fn, kw in VARIANTS:
         try:

@@ -95,9 +95,12 @@ def main():
     base = ("blend", "smat", "rolls", "dots")
     FIX = [
         ("fx-base", base),
+        ("fx+nors", base + ("nors",)),
         ("fx+nostore", base + ("nostore",)),
         ("fx+nostore+pinout", base + ("nostore", "pinout")),
         ("fx+ns+po+halfgrid", base + ("nostore", "pinout", "halfgrid")),
+        ("fx+novcol", base + ("novcol",)),
+        ("fx+noscal", base + ("noscal",)),
     ]
     fs = {}
     for name, ab in FIX:
@@ -108,11 +111,14 @@ def main():
         )
         fs[name] = timeit(fn, *args)
         print(f"{name:20s} {fs[name]:6.2f} ms", flush=True)
-    print(f"\nout stores  : {fs['fx-base'] - fs['fx+nostore']:6.2f} ms")
+    print(f"\nrs roundtrip: {fs['fx-base'] - fs['fx+nors']:6.2f} ms")
+    print(f"out stores  : {fs['fx-base'] - fs['fx+nostore']:6.2f} ms")
     print(f"out wb DMAs : "
           f"{fs['fx+nostore'] - fs['fx+nostore+pinout']:6.2f} ms")
     print(f"grid/2      : "
           f"{fs['fx+nostore+pinout'] - fs['fx+ns+po+halfgrid']:6.2f} ms")
+    print(f"vcol DMAs   : {fs['fx-base'] - fs['fx+novcol']:6.2f} ms")
+    print(f"scal DMAs   : {fs['fx-base'] - fs['fx+noscal']:6.2f} ms")
 
 
 if __name__ == "__main__":

@@ -19,7 +19,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-import rampvo_tpu.ops.corr_pallas as cp
+import importlib
+
+# `rampvo_tpu.ops` re-exports a FUNCTION named corr_pallas which shadows
+# the submodule on `import a.b as c` (getattr wins over sys.modules)
+cp = importlib.import_module("rampvo_tpu.ops.corr_pallas")
 
 JITTER = 1.5  # px pixel-offset scale for the synthetic patch grids
 

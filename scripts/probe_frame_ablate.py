@@ -109,9 +109,16 @@ def main():
         select_coords_event_bias,
     )
 
+    def update_zero_corr(p, net, ctx, corr_in, ii, jj, kk, valid,
+                         lattice=None):
+        # zeros_like carries no value dependency -> XLA DCEs the corr
+        # kernel while the update net still runs: splits corr vs net
+        return update_fn(p, net, ctx, jnp.zeros_like(corr_in),
+                         ii, jj, kk, valid, lattice)
+
     def frame(params, st, events, images, m, intrinsics,
               do_enc=True, do_update=True, do_kf=True, oracle=None,
-              cfg=cfg):
+              ufn=None, cfg=cfg):
         events = events.astype(jnp.float32)
         images = images.astype(jnp.float32)
         if do_enc:
@@ -131,7 +138,7 @@ def main():
         st = st.replace(n=st.n + 1)
         st = _append_edges(cfg, st)
         if do_update:
-            st = _update(cfg, update_fn, params, st, oracle)
+            st = _update(cfg, ufn or update_fn, params, st, oracle)
         if do_kf:
             st = _keyframe(cfg, st)
         return st
@@ -156,6 +163,7 @@ def main():
     t_nokf = mk("no_kf", do_kf=False)
     t_noupd = mk("no_update", do_update=False)
     t_oracle = mk("oracle_update (BA only)", oracle=oracle)
+    t_zcorr = mk("zero_corr (net, no kernel)", ufn=update_zero_corr)
     t_noenc = mk("no_encoder", do_enc=False)
     # BA sub-stages: per-GN-iteration cost (oracle @ 1 iter vs 2) and the
     # reproject-only floor (oracle @ 0 iters keeps reproject + state writes)
@@ -168,6 +176,8 @@ def main():
     print(f"  keyframe       : {t_all - t_nokf:6.2f} ms (all - no_kf)")
     print(f"  update total   : {t_all - t_noupd:6.2f} ms (all - no_update)")
     print(f"    corr+net     : {t_all - t_oracle:6.2f} ms (all - oracle)")
+    print(f"      corr kernel: {t_all - t_zcorr:6.2f} ms (all - zero_corr)")
+    print(f"      update net : {t_zcorr - t_oracle:6.2f} ms")
     print(f"    BA+misc      : {t_oracle - t_noupd:6.2f} ms")
     print(f"      GN iter    : {t_oracle - t_ba1:6.2f} ms (2it - 1it)")
     print(f"      reproject+ : {t_ba0 - t_noupd:6.2f} ms (0it - no_update)")

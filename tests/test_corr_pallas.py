@@ -169,14 +169,22 @@ class TestCorrLattice:
             slotmap, r, 3, interpret=True,
         ).astype(jnp.float32)
         scale = float(jnp.abs(a).max())
-        for fn in (corr_lattice_fused2,):
-            b = fn(
+        # every production-candidate fused2 variant must match fused
+        for name, kw in (
+            ("default", {}),
+            ("nopin", {"pin_inputs": False}),
+            ("rs2d", {"rs2d": True}),
+            ("bf16s", {"bf16s": True}),
+            ("vreg", {"vreg": True}),
+            ("vcat", {"vcat": True}),
+        ):
+            b = corr_lattice_fused2(
                 gmap_r, fmap1, fmap2, coords, cell_valid, jnp.int32(n),
-                slotmap, r, 3, interpret=True,
+                slotmap, r, 3, interpret=True, **kw,
             ).astype(jnp.float32)
             assert bool(jnp.isfinite(b).all())
             d = float(jnp.abs(a - b).max())
-            assert d / scale < 1e-2, (fn.__name__, d / scale)
+            assert d / scale < 1e-2, (name, d / scale)
 
     @pytest.mark.slow
     def test_folded_layout_permutation(self):
