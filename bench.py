@@ -49,9 +49,8 @@ def main():
     import numpy as np
 
     from rampvo_tpu.models import VONet
-    from rampvo_tpu.models.encoders import MultiScaleEncoder, SingleScaleEncoder
     from rampvo_tpu.vo import VOConfig
-    from rampvo_tpu.vo.runtime import make_vo_frame
+    from rampvo_tpu.vo.runtime import make_enc_state, make_vo_frame
     from rampvo_tpu.vo.state import init_state
 
     H, W = args.height, args.width
@@ -75,9 +74,8 @@ def main():
         jnp.zeros((1, H, W, 3)),
         jnp.asarray([True]),
     )
-    enc_cls = (MultiScaleEncoder if args.input_mode == "MultiScale"
-               else SingleScaleEncoder)
-    state = init_state(cfg, enc_cls.init_state(H, W), H, W)
+    state = init_state(
+        cfg, make_enc_state(cfg, args.input_mode, H, W), H, W)
     K = max(args.chunk, 1)
     if K > 1:
         from rampvo_tpu.vo.runtime import make_vo_frames_chunk

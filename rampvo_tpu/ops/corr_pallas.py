@@ -871,8 +871,8 @@ def _kernel_lat_fused(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref, out_ref,
 
 
 def _kernel_lat_fused2(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref, vcol_ref,
-                       out_ref, scratch1, scratch2, rs0, rs1, last_slot,
-                       sem1, sem2, *, C, PP, D, M, NI, ablate=(),
+                       consts_ref, out_ref, scratch1, scratch2, rs0, rs1,
+                       last_slot, sem1, sem2, *, C, PP, D, M, NI, ablate=(),
                        pin_inputs=False, rs2d=False, vreg=False,
                        bf16s=False, vcat=False):
     """_kernel_lat_fused without the staging round-trips.
@@ -921,13 +921,15 @@ def _kernel_lat_fused2(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref, vcol_ref,
 
     @pl.when(valid)
     def _compute():
-        rowid = jax.lax.broadcasted_iota(jnp.int32, (D * TX, 64), 0)
-        outid = jax.lax.broadcasted_iota(jnp.int32, (D * TX, 64), 1)
-        S = (
-            (rowid // TX == outid // 8) & (rowid % TX == outid % 8)
-        ).astype(jnp.float32)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (GANG * PP, 64), 1)
-        good = ((lane // 8) < D - 1) & ((lane % 8) < D - 1)
+        # S and the window mask are COMPILE-TIME constants built in the
+        # wrapper (numpy) and passed as one pinned VMEM input: pallas
+        # kernel jaxprs are lowered WITHOUT dead-code elimination and TPUs
+        # have no integer divide — building these in-kernel via
+        # broadcasted_iota + //24 / %24 ran per grid step and measured
+        # ~11 ms/call at bench shapes (61% of the kernel was this "fixed"
+        # cost; see scripts/ab_fused2_phases.py)
+        S = consts_ref[: D * TX, :]                       # [D*TX, 64] f32
+        good = consts_ref[D * TX: D * TX + GANG * PP, :]  # [GANG*PP, 64]
 
         if vreg:
             # per-EDGE pipeline fully in VREGs: the [GANG*PP, TY*TX] roll
@@ -936,8 +938,7 @@ def _kernel_lat_fused2(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref, vcol_ref,
             # "fixed cost" of the gang formulation. Rolls/extraction run
             # on [PP, TY*TX] (9 sublanes pad to 16 -> ~1.8x VPU waste on
             # the rolls) but never touch VMEM.
-            lane_e = jax.lax.broadcasted_iota(jnp.int32, (PP, 64), 1)
-            good_e = ((lane_e // 8) < D - 1) & ((lane_e % 8) < D - 1)
+            good_e = good[:PP, :]
 
             def edge_gang_v(i, carry):
                 gi = tabs[b, 3] if pin_inputs else 0
@@ -987,7 +988,7 @@ def _kernel_lat_fused2(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref, vcol_ref,
                             + fy * (1 - fx) * pltpu.roll(c, 56, 1)
                             + fy * fx * pltpu.roll(c, 55, 1)
                         )
-                        outs_e.append(jnp.where(good_e, out_l, 0.0))
+                        outs_e.append(out_l * good_e)
                     pair_e = jnp.concatenate(outs_e, axis=1)  # [PP, 128]
                     out_ref[0, 0, e] = pair_e.astype(out_ref.dtype)
                 return carry
@@ -1092,7 +1093,7 @@ def _kernel_lat_fused2(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref, vcol_ref,
                         + fy * (1 - fx) * pltpu.roll(c, 56, 1)
                         + fy * fx * pltpu.roll(c, 55, 1)
                     )
-                outs.append(jnp.where(good, out_l, 0.0))
+                outs.append(out_l * good)
 
             pair = jnp.concatenate(outs, axis=1)  # [GANG*PP, 128]
             if "nostore" in ablate:  # timing: VREG->VMEM store + relayout
@@ -1106,7 +1107,9 @@ def _kernel_lat_fused2(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref, vcol_ref,
                 ).reshape(GANG, PP, 128)
             return carry
 
-        if "unroll" in ablate:  # timing: fori_loop bookkeeping probe
+        if "noloop" in ablate:  # timing: grid + slot copies only
+            pass
+        elif "unroll" in ablate:  # timing: fori_loop bookkeeping probe
             for _i in range(M // GANG):
                 edge_gang(_i, 0)
         else:
@@ -1275,6 +1278,9 @@ def _lattice_bands(
     Hp2, Wp2 = fpad2.shape[1], fpad2.shape[2]
 
     gflat = gmap_r.reshape(MEM, M * PP, C)
+
+    # see the corr_lattice_fused2 barrier note (operand-copy fusion tax)
+    tabs, scal = jax.lax.optimization_barrier((tabs, scal))
 
     band1, band2 = pl.pallas_call(
         functools.partial(_kernel_lat, C=C, PP=PP, D=D, M=M, NI=NI),
@@ -1621,6 +1627,9 @@ def corr_lattice_compact(
 
     gflat = gmap_r.reshape(MEM, M * PP, C)
 
+    # see the corr_lattice_fused2 barrier note (operand-copy fusion tax)
+    tabs, scal = jax.lax.optimization_barrier((tabs, scal))
+
     out = pl.pallas_call(
         functools.partial(_kernel_lat_compact, C=C, PP=PP, D=D, M=M, NI=NI),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -1785,6 +1794,11 @@ def corr_lattice_fused(
 
     gflat = gmap_r.reshape(MEM, M * PP, C)
 
+    # keep XLA from fusing the scalar-table producers into the custom
+    # call's operand copies (catastrophic small-minor-dim tiling; see the
+    # corr_lattice_fused2 barrier note)
+    tabs, scal = jax.lax.optimization_barrier((tabs, scal))
+
     out = pl.pallas_call(
         functools.partial(_kernel_lat_fused, C=C, PP=PP, D=D, M=M, NI=NI),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -1905,6 +1919,19 @@ def corr_lattice_fused2(
 
     gflat = gmap_r.reshape(MEM, M * PP, C)
 
+    # compile-time constants (S extraction matrix + window mask), one
+    # pinned VMEM input — see the kernel comment for why these must not be
+    # built in-kernel (no DCE + no hardware int div)
+    rowid = np.arange(D * TX, dtype=np.int64)[:, None]
+    outid = np.arange(64, dtype=np.int64)[None, :]
+    S_np = ((rowid // TX == outid // 8)
+            & (rowid % TX == outid % 8)).astype(np.float32)
+    lane = np.arange(64, dtype=np.int64)[None, :]
+    good_np = np.broadcast_to(
+        ((lane // 8) < D - 1) & ((lane % 8) < D - 1), (GANG * PP, 64)
+    ).astype(np.float32)
+    consts = jnp.asarray(np.concatenate([S_np, good_np], axis=0))
+
     # pinned: the whole gmap ring enters as ONE constant-index block (8.8 MB
     # at bench shapes, lane dim C=128 so no padding blowup) -> loaded once.
     # vcol CANNOT be pinned the same way: its last dim (2) pads to 128
@@ -1940,6 +1967,32 @@ def corr_lattice_fused2(
         out_spec = pl.BlockSpec(
             (1, 1, M, PP, 128), lambda b, tb: (tb[b, 4], tb[b, 1], 0, 0, 0)
         )
+    if "nobar" not in ablate:
+        # CRITICAL (+8 ms/call at bench shapes if omitted): without a
+        # barrier XLA fuses the scal/vcol producers into the Mosaic
+        # custom call's operand copies with catastrophic minor-dim-2
+        # tiling ("scal/vcol in-graph" 29.8 ms vs 21.8 with the barrier
+        # vs 19.9 arg-fed, same process). The barrier forces a clean
+        # default-layout materialization first.
+        tabs, scal, vcol = jax.lax.optimization_barrier((tabs, scal, vcol))
+
+    if "noker" in ablate:
+        # timing: XLA prologue + epilogue WITHOUT the kernel. The cheap
+        # reduction keeps every kernel input alive (no DCE); the broadcast
+        # write matches the kernel's output-buffer cost.
+        keep = (jnp.sum(tabs).astype(jnp.float32)
+                + jnp.sum(scal).astype(jnp.float32)
+                + jnp.sum(vcol).astype(jnp.float32)
+                + fpad1[0, 0, 0, 0].astype(jnp.float32)
+                + fpad2[0, 0, 0, 0].astype(jnp.float32)
+                + gflat[0, 0, 0].astype(jnp.float32))
+        out = jnp.zeros((NI + 1, T, M, PP, 128), jnp.bfloat16
+                        ) + keep.astype(jnp.bfloat16)
+        vmask = _cell_vmask(NI, T, M, r, n, cell_valid)
+        return jnp.where(
+            vmask[:, None], out[:NI].reshape(E, PP * 128), jnp.bfloat16(0.0)
+        )
+
     out = pl.pallas_call(
         functools.partial(_kernel_lat_fused2, C=C, PP=PP, D=D, M=M, NI=NI,
                           ablate=tuple(ablate), pin_inputs=pin_inputs,
@@ -1953,6 +2006,9 @@ def corr_lattice_fused2(
                 g_spec,
                 scal_spec,
                 vcol_spec,
+                pl.BlockSpec(
+                    (D * TX + GANG * PP, 64), lambda b, tb: (0, 0)
+                ),
             ],
             out_specs=out_spec,
             scratch_shapes=[
@@ -1978,8 +2034,10 @@ def corr_lattice_fused2(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(tabs, fpad1, fpad2, gflat, scal, vcol)
+    )(tabs, fpad1, fpad2, gflat, scal, vcol, consts)
 
+    if "noepi" in ablate:  # timing: skip the validity-mask epilogue
+        return out[:NI].reshape(E, PP * 128)
     vmask = _cell_vmask(NI, T, M, r, n, cell_valid)
     return jnp.where(
         vmask[:, None], out[:NI].reshape(E, PP * 128), jnp.bfloat16(0.0)
@@ -2179,6 +2237,9 @@ def corr_sched_fused(gmap, fmap1, fmap2, coords, kk, src, inv, tabs,
     fpad2 = _pad_ring(fmap2.astype(jnp.bfloat16), pad)
     Hp1, Wp1 = fpad1.shape[1], fpad1.shape[2]
     Hp2, Wp2 = fpad2.shape[1], fpad2.shape[2]
+
+    # see the corr_lattice_fused2 barrier note (operand-copy fusion tax)
+    scal, g_s = jax.lax.optimization_barrier((scal, g_s))
 
     out = pl.pallas_call(
         functools.partial(
@@ -2401,6 +2462,9 @@ def corr_sched_bwd(ct_pad, gmap_s, fmap1, fmap2, coords_s, tabs,
     fpad2 = _pad_ring(fmap2.astype(jnp.bfloat16), pad)
     Hp1, Wp1 = fpad1.shape[1], fpad1.shape[2]
     Hp2, Wp2 = fpad2.shape[1], fpad2.shape[2]
+
+    # see the corr_lattice_fused2 barrier note (operand-copy fusion tax)
+    scal = jax.lax.optimization_barrier(scal)
 
     gg, gf1, gf2 = pl.pallas_call(
         functools.partial(

@@ -52,8 +52,19 @@ class VOConfig:
     FUSED_ENCODER: bool = False
     # channel-major Pallas kernel for the per-scale LSTM+fold chain
     # (ops/encoder_pallas.py) — removes the NHWC lane-padding tax on the
-    # C<=32 intermediates; heads stay flax
-    PALLAS_ENCODER: bool = False
+    # C<=32 intermediates; heads stay flax. Measured -0.9 ms/frame on chip
+    # (scripts/ab_frame_variants.py r03). "auto" (default) = on when the
+    # backend is a real TPU, off elsewhere (interpret-mode Pallas on CPU
+    # is orders of magnitude slower than the flax path); True/False force.
+    PALLAS_ENCODER: object = "auto"
+
+    def pallas_encoder_on(self) -> bool:
+        """Resolve PALLAS_ENCODER ("auto" = TPU backend only)."""
+        if self.PALLAS_ENCODER == "auto":
+            import jax
+
+            return jax.default_backend() == "tpu"
+        return bool(self.PALLAS_ENCODER)
     CORR_LAYOUT: str = "fused2"
     CELL_REPROJECT: bool = True  # per-cell relative poses in reprojection
     CELL_LINEARIZE: bool = True  # per-cell linearization inside ba_infer

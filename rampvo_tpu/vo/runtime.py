@@ -57,6 +57,26 @@ DIM = 384
 # pure per-frame pieces (cfg static, closed over)
 # ---------------------------------------------------------------------------
 
+def make_enc_state(cfg: VOConfig, input_mode: str, ht: int, wd: int):
+    """Encoder carry in the layout the encode path for `cfg` expects:
+    channel-major when the Pallas encoder resolves ON (PALLAS_ENCODER,
+    "auto" = TPU backend), flax NHWC otherwise. Use this instead of
+    calling {Multi,Single}ScaleEncoder.init_state directly when the state
+    feeds make_vo_frame / make_vo_frames_chunk."""
+    if cfg.pallas_encoder_on():
+        from ..ops.encoder_pallas import (
+            multiscale_init_state_cm,
+            singlescale_init_state_cm,
+        )
+
+        if input_mode == "SingleScale":
+            return singlescale_init_state_cm(ht, wd)
+        return multiscale_init_state_cm(ht, wd)
+    if input_mode == "SingleScale":
+        return SingleScaleEncoder.init_state(ht, wd)
+    return MultiScaleEncoder.init_state(ht, wd)
+
+
 def _gather_pose(state: VOState, logical):
     """Pose of a logical keyframe (clamped gather through l2g)."""
     g = state.l2g[jnp.clip(logical, 0, state.l2g.shape[0] - 1)]
@@ -595,7 +615,7 @@ def make_vo_frame(cfg: VOConfig, vonet: VONet, event_bias: bool = True,
             enc_state = jax.tree_util.tree_map(
                 lambda x: x.astype(jnp.bfloat16), enc_state
             )
-        if (cfg.PALLAS_ENCODER and vonet.input_mode == "MultiScale"
+        if (cfg.pallas_encoder_on() and vonet.input_mode == "MultiScale"
                 and events.shape[0] == 1):
             # channel-major Pallas LSTM+fold chain (ops/encoder_pallas.py);
             # heads stay flax; Patchifier's /4 applied here
@@ -608,7 +628,7 @@ def make_vo_frame(cfg: VOConfig, vonet: VONet, event_bias: bool = True,
             )
             fmap = fmap / 4.0
             imap = imap / 4.0
-        elif (cfg.PALLAS_ENCODER and vonet.input_mode == "SingleScale"
+        elif (cfg.pallas_encoder_on() and vonet.input_mode == "SingleScale"
                 and events.shape[0] == 1):
             # carried channel-major kernel; enc_state is the CM form
             # (ops/encoder_pallas.singlescale_init_state_cm)
@@ -793,7 +813,7 @@ def make_encode_only(cfg: VOConfig, vonet: VONet):
     def encode_only(params, state: VOState, events, images, mask):
         events = events.astype(jnp.float32)
         images = images.astype(jnp.float32)
-        if (cfg.PALLAS_ENCODER and vonet.input_mode == "MultiScale"
+        if (cfg.pallas_encoder_on() and vonet.input_mode == "MultiScale"
                 and events.shape[0] == 1):
             # heads are dead code here (outputs unused) — XLA DCEs them
             from ..ops.encoder_pallas import pallas_multiscale_encode
@@ -803,7 +823,7 @@ def make_encode_only(cfg: VOConfig, vonet: VONet):
                 events, images, mask, state.enc,
                 interpret=jax.default_backend() != "tpu",
             )
-        elif (cfg.PALLAS_ENCODER and vonet.input_mode == "SingleScale"
+        elif (cfg.pallas_encoder_on() and vonet.input_mode == "SingleScale"
                 and events.shape[0] == 1):
             from ..ops.encoder_pallas import pallas_singlescale_encode
 
@@ -876,14 +896,14 @@ class RampVO:
         self._pp_models = None
 
         if input_mode == "SingleScale":
-            if cfg.PALLAS_ENCODER:
+            if cfg.pallas_encoder_on():
                 from ..ops.encoder_pallas import singlescale_init_state_cm
 
                 enc_state = singlescale_init_state_cm(ht, wd)
             else:
                 enc_state = SingleScaleEncoder.init_state(ht, wd)
         else:
-            if cfg.PALLAS_ENCODER:
+            if cfg.pallas_encoder_on():
                 from ..ops.encoder_pallas import multiscale_init_state_cm
 
                 enc_state = multiscale_init_state_cm(ht, wd)

@@ -7,16 +7,18 @@ cell BA linearization} helps/hurts the steady-state frame time.
 Run alone: PYTHONPATH=.:/root/.axon_site python scripts/ab_frame_variants.py
 """
 
+import sys
 import time
+
+sys.path.insert(0, ".")
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from rampvo_tpu.models import VONet
-from rampvo_tpu.models.encoders import MultiScaleEncoder
 from rampvo_tpu.vo import VOConfig
-from rampvo_tpu.vo.runtime import make_vo_frame
+from rampvo_tpu.vo.runtime import make_enc_state, make_vo_frame
 from rampvo_tpu.vo.state import init_state
 
 H, W = 480, 640
@@ -24,6 +26,9 @@ H, W = 480, 640
 BASE = dict(
     BUFFER_SIZE=512, MAX_FRAMES=512, MIXED_PRECISION=True,
     PROBE_THRESH=-1.0, KEYFRAME_THRESH=0.0,
+    # pin OFF in the base so each variant toggles exactly one thing
+    # (the config default is "auto" = on-chip True)
+    PALLAS_ENCODER=False,
 )
 
 VARIANTS = [
@@ -58,7 +63,8 @@ def main():
     for name, kw in VARIANTS:
         cfg = VOConfig(**BASE, **kw)
         vo_frame = make_vo_frame(cfg, vonet)
-        state = init_state(cfg, MultiScaleEncoder.init_state(H, W), H, W)
+        state = init_state(
+            cfg, make_enc_state(cfg, "MultiScale", H, W), H, W)
         t0 = time.perf_counter()
         for ev, im in frames[:40]:
             state = vo_frame(params, state, ev, im, mask, intr)

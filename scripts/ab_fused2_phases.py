@@ -120,6 +120,39 @@ def main():
     print(f"vcol DMAs   : {fs['fx-base'] - fs['fx+novcol']:6.2f} ms")
     print(f"scal DMAs   : {fs['fx-base'] - fs['fx+noscal']:6.2f} ms")
 
+    # prologue+epilogue without the kernel, at BOTH padding modes: the
+    # production path (vo/runtime) passes prepadded=True, the A/B harness
+    # pads in-graph — the delta is the non-production pad cost
+    fn = jax.jit(
+        lambda g, f1, f2, c, cv, nn, sm: corr_lattice_fused2(
+            g, f1, f2, c, cv, nn, sm, r, 3, ablate=("noker",)
+        )
+    )
+    t_nk = timeit(fn, *args)
+    print(f"\nnoker (prologue+epilogue, in-graph pad): {t_nk:6.2f} ms")
+    from rampvo_tpu.ops.corr_pallas import RING_PAD, _pad_ring
+    fp1 = _pad_ring(fmap1, RING_PAD)
+    fp2 = _pad_ring(fmap2, RING_PAD)
+    hw = (H, W, H // 4, W // 4)
+    args_pp = (gmap_r, fp1, fp2, coords, cell_valid, jnp.int32(n), slotmap)
+    fn = jax.jit(
+        lambda g, f1, f2, c, cv, nn, sm: corr_lattice_fused2(
+            g, f1, f2, c, cv, nn, sm, r, 3, ablate=("noker",),
+            prepadded=True, hw=hw,
+        )
+    )
+    t_nkp = timeit(fn, *args_pp)
+    print(f"noker prepadded (production prologue)  : {t_nkp:6.2f} ms")
+    fn = jax.jit(
+        lambda g, f1, f2, c, cv, nn, sm: corr_lattice_fused2(
+            g, f1, f2, c, cv, nn, sm, r, 3, prepadded=True, hw=hw,
+        )
+    )
+    t_fp = timeit(fn, *args_pp)
+    print(f"full prepadded (production corr call)  : {t_fp:6.2f} ms")
+    print(f"  => kernel proper : {t_fp - t_nkp:6.2f} ms")
+    print(f"  => prologue+epi  : {t_nkp:6.2f} ms")
+
 
 if __name__ == "__main__":
     main()

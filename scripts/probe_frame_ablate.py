@@ -7,7 +7,10 @@ cancel it.
 Run alone: PYTHONPATH=.:/root/.axon_site python scripts/probe_frame_ablate.py
 """
 
+import sys
 import time
+
+sys.path.insert(0, ".")
 
 import jax
 import jax.numpy as jnp

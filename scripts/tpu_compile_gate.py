@@ -42,10 +42,7 @@ def _make_vo(cfg, input_mode, H, W):
     import jax.numpy as jnp
 
     from rampvo_tpu.models import VONet
-    from rampvo_tpu.models.encoders import (
-        MultiScaleEncoder,
-        SingleScaleEncoder,
-    )
+    from rampvo_tpu.vo.runtime import make_enc_state
     from rampvo_tpu.vo.state import init_state
 
     vonet = VONet(input_mode=input_mode)
@@ -56,25 +53,7 @@ def _make_vo(cfg, input_mode, H, W):
         jnp.asarray([True]),
     )
     # encoder-state layout must match the encode path (RampVO.__init__)
-    if input_mode == "SingleScale":
-        if cfg.PALLAS_ENCODER:
-            from rampvo_tpu.ops.encoder_pallas import (
-                singlescale_init_state_cm,
-            )
-
-            enc_state = singlescale_init_state_cm(H, W)
-        else:
-            enc_state = SingleScaleEncoder.init_state(H, W)
-    else:
-        if cfg.PALLAS_ENCODER:
-            from rampvo_tpu.ops.encoder_pallas import (
-                multiscale_init_state_cm,
-            )
-
-            enc_state = multiscale_init_state_cm(H, W)
-        else:
-            enc_state = MultiScaleEncoder.init_state(H, W)
-    state = init_state(cfg, enc_state, H, W)
+    state = init_state(cfg, make_enc_state(cfg, input_mode, H, W), H, W)
     rng = np.random.RandomState(0)
     ev = jnp.asarray(rng.rand(1, H, W, 5), jnp.float32)
     im = jnp.asarray(rng.rand(1, H, W, 3), jnp.float32)
