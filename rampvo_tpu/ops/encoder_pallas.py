@@ -80,6 +80,10 @@ def lstm_fold_cm(x_cm, ss_cm, wg, bg, wf, bf, *, hwb: int = 512,
         ss_cm = jnp.pad(ss_cm, ((0, 0), (0, pad)))
     HWp = HW + pad
 
+    # keep XLA from fusing the channel-major transpose into the custom
+    # call's operand copy (see corr_pallas operand-barrier note)
+    x_cm, ss_cm = jax.lax.optimization_barrier((x_cm, ss_cm))
+
     out = pl.pallas_call(
         functools.partial(_lstm_fold_kernel, h=h),
         grid=(HWp // hwb,),
@@ -233,6 +237,11 @@ def lstm_carry_fold_cm(x_cm, hc_cm, ss_cm, wg, wh, bg, wf, bf, pres, *,
         hc_cm = jnp.pad(hc_cm, ((0, 0), (0, pad)))
         ss_cm = jnp.pad(ss_cm, ((0, 0), (0, pad)))
     HWp = HW + pad
+
+    # keep XLA from fusing the channel-major transpose into the custom
+    # call's operand copy (see corr_pallas operand-barrier note)
+    x_cm, hc_cm, ss_cm = jax.lax.optimization_barrier(
+        (x_cm, hc_cm, ss_cm))
 
     oss, ohc = pl.pallas_call(
         functools.partial(_lstm_carry_fold_kernel, hp=hp),
