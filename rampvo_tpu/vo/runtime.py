@@ -199,20 +199,36 @@ def _reproject_edges_lattice(cfg: VOConfig, state: VOState, ii, jj, kk):
     rows = jnp.clip(_patch_rows(state, kk, M), 0, F * M - 1)
     patches = state.patches[rows]                   # [E, 3, P, P]
     fx, fy, cx, cy = state.intrinsics
-    x = patches[:, 0]
-    y = patches[:, 1]
-    d = patches[:, 2]
-    X0 = jnp.stack(
-        [(x - cx) / fx, (y - cy) / fy, jnp.ones_like(d), d], axis=-1
-    )  # [E, P, P, 4]
-    P = X0.shape[1]
-    X1 = lops.se3_act4(
-        Gij[:, None, None, None, :], X0.reshape(NC, M, P, P, 4)
-    ).reshape(X0.shape)
-    Z = jnp.maximum(X1[..., 2], 0.1)
-    u = fx * (X1[..., 0] / Z) + cx
-    v = fy * (X1[..., 1] / Z) + cy
-    return jnp.stack([u, v], axis=-1)
+    P = patches.shape[-1]
+    PP = P * P
+    MPP = M * PP
+
+    # planar (structure-of-arrays) quaternion chain: every intermediate is
+    # [NC, M*PP] (minor dim 864) instead of [..., P, P, 4] — XLA
+    # elementwise passes over small-minor-dim arrays run ~20x below HBM
+    # bandwidth on TPU (relayout tiling), which made this act4 chain the
+    # bulk of the 4.9 ms in-frame reproject cost
+    px = patches[:, 0].reshape(NC, MPP)
+    py = patches[:, 1].reshape(NC, MPP)
+    d = patches[:, 2].reshape(NC, MPP)
+    x0 = (px - cx) / fx
+    y0 = (py - cy) / fy
+
+    tx_, ty_, tz_ = (Gij[:, 0:1], Gij[:, 1:2], Gij[:, 2:3])
+    qx, qy, qz, qw = (Gij[:, 3:4], Gij[:, 4:5], Gij[:, 5:6], Gij[:, 6:7])
+    # quat_act with v = (x0, y0, 1)  (uv = 2 qv x v; out = v + qw uv + qv x uv)
+    uvx = 2.0 * (qy - qz * y0)
+    uvy = 2.0 * (qz * x0 - qx)
+    uvz = 2.0 * (qx * y0 - qy * x0)
+    X1 = x0 + qw * uvx + (qy * uvz - qz * uvy) + d * tx_
+    Y1 = y0 + qw * uvy + (qz * uvx - qx * uvz) + d * ty_
+    Z1 = 1.0 + qw * uvz + (qx * uvy - qy * uvx) + d * tz_
+
+    Z = jnp.maximum(Z1, 0.1)
+    u = fx * (X1 / Z) + cx
+    v = fy * (Y1 / Z) + cy
+    # single interleave at the boundary (one materialization, not a chain)
+    return jnp.stack([u, v], axis=-1).reshape(NC * M, P, P, 2)
 
 
 def _fold_corr_fc1(params, layout: str = "folded"):

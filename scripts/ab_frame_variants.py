@@ -61,7 +61,7 @@ def main():
 
     results = {}
     for name, kw in VARIANTS:
-        cfg = VOConfig(**BASE, **kw)
+        cfg = VOConfig(**{**BASE, **kw})
         vo_frame = make_vo_frame(cfg, vonet)
         state = init_state(
             cfg, make_enc_state(cfg, "MultiScale", H, W), H, W)
