@@ -433,7 +433,7 @@ def ba_train(
 )
 def ba_infer(
     poses,  # [Np, 7] full pose buffer (SE3 data)
-    patches_win,  # [M, 3, P, P] patch window (kk already rebased to [0, M))
+    cwin,  # [M, 3] patch-center window (x, y, inverse depth); kk in [0, M)
     intrinsics,  # [4] shared fx fy cx cy (ref kernel reads intrinsics[0])
     targets,  # [E, 2]
     weights,  # [E, 2]
@@ -455,9 +455,12 @@ def ba_infer(
 ):
     """Inference GN BA, ref: ramp/fastba/ba_cuda.cu:232-376,430-576.
 
-    Returns (poses', patches_win').
+    The patch window enters as CENTERS ([M, 3]) — BA only ever reads the
+    center pixel + the per-patch inverse depth and only writes depth
+    (ba_cuda.cu:316-338,218-222), so the interleaved [M, 3, P, P] window
+    (whose (3, 3) minor dims XLA pads ~170x) never needs to exist.
+    Returns (poses', d' [M] updated inverse depths).
     """
-    P = patches_win.shape[-1]
     fx, fy, cx, cy = intrinsics
     intr_e = jnp.broadcast_to(intrinsics, (ii.shape[0], 4))
     n_dyn = t1 - t0
@@ -469,8 +472,8 @@ def ba_infer(
         jj_c = jj.reshape(-1, Mp_l)[:, 0]
 
     def body(_, carry):
-        poses7, pwin = carry
-        centers = pwin[kk, :, P // 2, P // 2]
+        poses7, cw = carry
+        centers = cw[kk]
         if cell_linearize:
             coords, Z, Ji, Jj, Jz = linearize_center_cells(
                 poses7, centers, intrinsics, ii_c, jj_c, Mp_l
@@ -516,11 +519,14 @@ def ba_infer(
         poses7 = poses7.at[idx].set(upd, mode="drop")
 
         # depth retraction with reset (ba_cuda.cu:218-222), touched slots only
-        d = pwin[:, 2, 0, 0] + dZ
+        d = cw[:, 2] + dZ
         d = jnp.where(d > 20.0, 1.0, d)
         d = jnp.maximum(d, 1e-4)
-        d = jnp.where(touched, d, pwin[:, 2, 0, 0])
-        pwin = pwin.at[:, 2].set(d[:, None, None] * jnp.ones((1, P, P), d.dtype))
-        return poses7, pwin
+        d = jnp.where(touched, d, cw[:, 2])
+        cw = cw.at[:, 2].set(d)
+        return poses7, cw
 
-    return jax.lax.fori_loop(0, iterations, body, (poses, patches_win))
+    poses_out, cw_out = jax.lax.fori_loop(
+        0, iterations, body, (poses, cwin)
+    )
+    return poses_out, cw_out[:, 2]

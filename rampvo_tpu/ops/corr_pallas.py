@@ -1733,6 +1733,48 @@ def _pack_window_scalars(prep, E, PP):
     return ty, tx, off | (fx << 8) | (fy << 18) | (okb << 28)
 
 
+def _prep_pack_planar(u, v, uc, vc, H, W, R, D, pad):
+    """_level_prep + _pack_window_scalars on PLANAR coordinates.
+
+    u, v: [NC, M*PP] per-window reprojected pixel coords; uc, vc: [NC, M]
+    the patch-center coords (= the window that defines each edge's tile
+    base, matching _level_prep's sy[:, P//2, P//2]). All arithmetic runs on
+    [NC, M*PP] / [NC, M] arrays (minor dims 864 / 96) — the interleaved
+    [E, P, P, 2] form has minor dims (3, 2) that XLA tiles to (8, 128), a
+    ~170x physical padding paid on every materialization (the r03 in-frame
+    reproject cost). Returns (ty, tx [NC, M] int32, vpack [NC, M*PP] int32).
+    """
+    M = uc.shape[1]
+    PP = u.shape[1] // M
+
+    x0 = jnp.floor(u)
+    y0 = jnp.floor(v)
+    sy = jnp.clip(y0.astype(jnp.int32), -D, H + D) - R + pad
+    sx = jnp.clip(x0.astype(jnp.int32), -D, W + D) - R + pad
+
+    syc = jnp.clip(jnp.floor(vc).astype(jnp.int32), -D, H + D) - R + pad
+    sxc = jnp.clip(jnp.floor(uc).astype(jnp.int32), -D, W + D) - R + pad
+    ty = syc - SPREAD
+    tx = ((sxc - SPREAD) // 8) * 8
+
+    def expand(a):  # [NC, M] -> [NC, M*PP] (broadcast over the PP lanes)
+        return jnp.broadcast_to(
+            a[:, :, None], (a.shape[0], M, PP)
+        ).reshape(a.shape[0], M * PP)
+
+    oy = sy - expand(ty)
+    ox = sx - expand(tx)
+    ok = (oy >= 0) & (oy <= TY - D) & (ox >= 0) & (ox <= TX - D)
+    oy = jnp.clip(oy, 0, TY - D)
+    ox = jnp.clip(ox, 0, TX - D)
+
+    off = oy * TX + ox
+    fx = jnp.clip(jnp.round((u - x0) * 1024.0), 0, 1023).astype(jnp.int32)
+    fy = jnp.clip(jnp.round((v - y0) * 1024.0), 0, 1023).astype(jnp.int32)
+    vpack = off | (fx << 8) | (fy << 18) | (ok.astype(jnp.int32) << 28)
+    return ty, tx, vpack
+
+
 @functools.partial(
     jax.jit, static_argnames=("r", "radius", "interpret", "prepadded", "hw")
 )
@@ -1859,19 +1901,25 @@ def corr_lattice_fused(
 @functools.partial(
     jax.jit,
     static_argnames=("r", "radius", "interpret", "prepadded", "hw", "ablate",
-                     "pin_inputs", "rs2d", "vreg", "bf16s", "vcat"),
+                     "pin_inputs", "rs2d", "vreg", "bf16s", "vcat", "lat"),
 )
 def corr_lattice_fused2(
     gmap_r, fmap1, fmap2, coords, cell_valid, n, slotmap,
     r: int, radius: int = 3, interpret: bool = False,
     prepadded: bool = False, hw=None, ablate=(), pin_inputs: bool = True,
     rs2d: bool = False, vreg: bool = False, bf16s: bool = False,
-    vcat: bool = False,
+    vcat: bool = False, lat=None,
 ) -> jnp.ndarray:
     """corr_lattice_fused via `_kernel_lat_fused2` (direct slice->MXU dots,
     no staging round-trips, pipelined scalar columns). Same contract:
     [NI*T*M, PP*128] bf16 paired layout. `ablate`: timing-only phase drops
     (see _kernel_lat_fused2) — never set in production.
+
+    `coords` may be the interleaved [NI, T, M, P, P, 2] array OR a PLANAR
+    tuple (u, v, uc, vc) with u, v [NI*T, M*PP] per-window level-1 coords
+    and uc, vc [NI*T, M] patch-center coords (pass `lat`=(NI, T, M, P)
+    static) — the planar form skips the interleaved array's catastrophic
+    (3, 2)-minor-dim layout entirely (see _prep_pack_planar).
 
     `pin_inputs=True` (default): the gmap ring and the packed per-window
     scalar columns enter as WHOLE arrays with constant block indices, so
@@ -1880,7 +1928,12 @@ def corr_lattice_fused2(
     ablation measured the kernel 61% fixed-cost, dominated by DMA issues,
     not compute). Costs ~13 MB extra VMEM; the kernel indexes the ring
     slot / lattice cell directly."""
-    NI, T, M, P, _, _ = coords.shape
+    planar = isinstance(coords, tuple)
+    if planar:
+        u1, v1_, uc1, vc1 = coords
+        NI, T, M, P = lat
+    else:
+        NI, T, M, P, _, _ = coords.shape
     if prepadded:
         MEM, C = fmap1.shape[0], fmap1.shape[3]
         H1, W1, H2, W2 = hw
@@ -1898,16 +1951,25 @@ def corr_lattice_fused2(
 
     tabs, NB = _cell_tables(NI, T, M, r, n, cell_valid, slotmap, MEM, L)
 
-    cflat = coords.reshape(E, P, P, 2)
-    prep1 = _level_prep(cflat, H1, W1, P, R, D, pad)
-    prep2 = _level_prep(cflat / 4.0, H2, W2, P, R, D, pad)
+    if planar:
+        tyA, txA, vA = _prep_pack_planar(
+            u1, v1_, uc1, vc1, H1, W1, R, D, pad)
+        tyB, txB, vB = _prep_pack_planar(
+            u1 / 4.0, v1_ / 4.0, uc1 / 4.0, vc1 / 4.0, H2, W2, R, D, pad)
+        scal = jnp.stack([tyA, txA, tyB, txB], axis=-1).astype(
+            jnp.int32).reshape(NI, T, M, 4)
+        vcol = jnp.stack([vA, vB], axis=-1).reshape(NI, T, M * PP, 2)
+    else:
+        cflat = coords.reshape(E, P, P, 2)
+        prep1 = _level_prep(cflat, H1, W1, P, R, D, pad)
+        prep2 = _level_prep(cflat / 4.0, H2, W2, P, R, D, pad)
 
-    ty1, tx1, v1 = _pack_window_scalars(prep1, E, PP)
-    ty2, tx2, v2 = _pack_window_scalars(prep2, E, PP)
-    scal = jnp.concatenate(
-        [ty1[:, None], tx1[:, None], ty2[:, None], tx2[:, None]], axis=1,
-    ).astype(jnp.int32).reshape(NI, T, M, 4)
-    vcol = jnp.stack([v1, v2], axis=-1).reshape(NI, T, M * PP, 2)
+        ty1, tx1, v1 = _pack_window_scalars(prep1, E, PP)
+        ty2, tx2, v2 = _pack_window_scalars(prep2, E, PP)
+        scal = jnp.concatenate(
+            [ty1[:, None], tx1[:, None], ty2[:, None], tx2[:, None]], axis=1,
+        ).astype(jnp.int32).reshape(NI, T, M, 4)
+        vcol = jnp.stack([v1, v2], axis=-1).reshape(NI, T, M * PP, 2)
 
     if prepadded:
         fpad1, fpad2 = fmap1, fmap2

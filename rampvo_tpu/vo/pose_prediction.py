@@ -201,9 +201,10 @@ def predict_future_pose(slam, sec_to_pred_future, abs_time,
     q = np.arange(PW * M)
     prow_w = l2g_ext[np.clip(base + q // M, 0, len(l2g_ext) - 1)] * M + q % M
     pwin = patches[np.clip(prow_w, 0, len(patches) - 1)]
+    cwin = pwin[:, :, 1, 1]  # [PW*M, 3] centers (ba_infer is centers-based)
 
     posew2, _ = ba_infer(
-        jnp.asarray(posew), jnp.asarray(pwin), jnp.asarray(intr),
+        jnp.asarray(posew), jnp.asarray(cwin), jnp.asarray(intr),
         jnp.asarray(target), jnp.asarray(weights), jnp.float32(1e-4),
         jnp.asarray(ii - base), jnp.asarray(jj - base),
         jnp.asarray(kk - base * M),

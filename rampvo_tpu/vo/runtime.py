@@ -90,6 +90,22 @@ def _patch_rows(state: VOState, kk_logical, M: int):
     return g * M + kk_logical % M
 
 
+def _patches_rows(state: VOState, rows, P: int = 3):
+    """Interleaved [E, 3, P, P] patches for global patch rows, rebuilt from
+    the planar buffers (legacy/non-lattice consumers: probe edges, exact-XLA
+    fallback, oracle paths — NOT the hot lattice path)."""
+    F, M = state.pat_d.shape
+    PP = P * P
+    gf = jnp.clip(rows // M, 0, F - 1)
+    m = jnp.clip(rows % M, 0, M - 1)
+    px = state.pat_x.reshape(F, M, PP)[gf, m].reshape(-1, P, P)
+    py = state.pat_y.reshape(F, M, PP)[gf, m].reshape(-1, P, P)
+    pd = jnp.broadcast_to(
+        state.pat_d[gf, m][:, None, None], px.shape
+    )
+    return jnp.stack([px, py, pd], axis=1)
+
+
 def _motion_model_pose(cfg: VOConfig, state: VOState):
     """Damped-linear extrapolation (ref: Ramp_vo.py:356-366)."""
     P1 = _gather_pose(state, state.n - 1)
@@ -118,18 +134,20 @@ def _commit(cfg: VOConfig, state: VOState, fmap, gmap, imap_vec, patches_new,
     poses = state.poses.at[g].set(pose_g)
 
     # depth init: random pre-init, median of last 3 frames after
-    # (ref: Ramp_vo.py:368-373)
-    rows3 = _patch_rows(state, (n - 3) * M + jnp.arange(3 * M), M)
-    d3 = state.patches[jnp.clip(rows3, 0, F * M - 1), 2]
-    med = jnp.median(d3)
+    # (ref: Ramp_vo.py:368-373). The reference takes the median over the
+    # full [3M, P, P] (depth replicated per pixel) — replicate to match.
+    P = patches_new.shape[-1]
+    PP = P * P
+    g3 = state.l2g[jnp.clip(n - 3 + jnp.arange(3), 0, L - 1)]
+    d3 = state.pat_d[jnp.clip(g3, 0, F - 1)]                 # [3, M]
+    med = jnp.median(jnp.broadcast_to(d3[:, :, None], (3, M, PP)))
     rand_d = jax.random.uniform(k1, (M,))
     d0 = jnp.where(state.initialized, med, rand_d)
-    p_new = patches_new[0].at[:, 2].set(
-        d0[:, None, None] * jnp.ones((1, patches_new.shape[-2], patches_new.shape[-1]))
-    )
-    patches = jax.lax.dynamic_update_slice(
-        state.patches, p_new, (g * M, 0, 0, 0)
-    )
+    pat_x = state.pat_x.at[g].set(patches_new[0, :, 0].reshape(M * PP))
+    pat_y = state.pat_y.at[g].set(patches_new[0, :, 1].reshape(M * PP))
+    pat_d = state.pat_d.at[g].set(d0)
+    pat_cx = state.pat_cx.at[g].set(patches_new[0, :, 0, P // 2, P // 2])
+    pat_cy = state.pat_cy.at[g].set(patches_new[0, :, 1, P // 2, P // 2])
     colors = state.colors.at[g].set(clr[0])
 
     # free ring slots of frames that aged out of the feature window
@@ -161,7 +179,8 @@ def _commit(cfg: VOConfig, state: VOState, fmap, gmap, imap_vec, patches_new,
     l2g = state.l2g.at[n].set(g)
 
     return state.replace(
-        poses=poses, patches=patches, colors=colors,
+        poses=poses, pat_x=pat_x, pat_y=pat_y, pat_d=pat_d,
+        pat_cx=pat_cx, pat_cy=pat_cy, colors=colors,
         slot_free=slot_free, slotmap=slotmap,
         imap_r=imap_r, gmap_r=gmap_r, fmap1_r=fmap1_r, fmap2_r=fmap2_r,
         l2g=l2g, counter=g + 1, rng=rng,
@@ -176,46 +195,23 @@ def _reproject_edges(cfg: VOConfig, state: VOState, ii, jj, kk):
     poses_i = state.poses[jnp.clip(state.l2g[jnp.clip(ii, 0, L - 1)], 0, F - 1)]
     poses_j = state.poses[jnp.clip(state.l2g[jnp.clip(jj, 0, L - 1)], 0, F - 1)]
     rows = jnp.clip(_patch_rows(state, kk, M), 0, F * M - 1)
-    return transform_edges(poses_i, poses_j, state.patches[rows],
+    return transform_edges(poses_i, poses_j, _patches_rows(state, rows),
                            state.intrinsics)
 
 
-def _reproject_edges_lattice(cfg: VOConfig, state: VOState, ii, jj, kk):
-    """_reproject_edges for the full lattice edge set: all edges of a cell
-    share the frame pair, so the relative pose (se3_mul + se3_inv quaternion
-    chains) is computed per CELL (NI*T rows) instead of per edge (NI*T*M) —
-    only the act4 + projection stay per-edge."""
-    M, NI, T = cfg.M, cfg.NI, cfg.T
-    L = state.l2g.shape[0]
-    F = state.poses.shape[0]
-    NC = NI * T
-
-    ii_c = ii.reshape(NC, M)[:, 0]
-    jj_c = jj.reshape(NC, M)[:, 0]
-    pi = state.poses[jnp.clip(state.l2g[jnp.clip(ii_c, 0, L - 1)], 0, F - 1)]
-    pj = state.poses[jnp.clip(state.l2g[jnp.clip(jj_c, 0, L - 1)], 0, F - 1)]
-    Gij = lops.se3_mul(pj, lops.se3_inv(pi))        # [NC, 7]
-
-    rows = jnp.clip(_patch_rows(state, kk, M), 0, F * M - 1)
-    patches = state.patches[rows]                   # [E, 3, P, P]
-    fx, fy, cx, cy = state.intrinsics
-    P = patches.shape[-1]
-    PP = P * P
-    MPP = M * PP
-
-    # planar (structure-of-arrays) quaternion chain: every intermediate is
-    # [NC, M*PP] (minor dim 864) instead of [..., P, P, 4] — XLA
-    # elementwise passes over small-minor-dim arrays run ~20x below HBM
-    # bandwidth on TPU (relayout tiling), which made this act4 chain the
-    # bulk of the 4.9 ms in-frame reproject cost
-    px = patches[:, 0].reshape(NC, MPP)
-    py = patches[:, 1].reshape(NC, MPP)
-    d = patches[:, 2].reshape(NC, MPP)
+def _quat_project(Gij, px, py, d, intrinsics):
+    """Pinhole reprojection of planar pixel arrays through per-row relative
+    poses. Gij [R, 7]; px/py/d broadcastable to [R, K]. Returns u, v [R, K].
+    Structure-of-arrays quaternion chain — every intermediate has a wide
+    minor dim, never the [..., P, P, (2|4)] interleaved forms whose tiny
+    minor dims XLA tiles to (8, 128) at ~170x physical padding."""
+    fx, fy, cx, cy = intrinsics
     x0 = (px - cx) / fx
     y0 = (py - cy) / fy
-
-    tx_, ty_, tz_ = (Gij[:, 0:1], Gij[:, 1:2], Gij[:, 2:3])
-    qx, qy, qz, qw = (Gij[:, 3:4], Gij[:, 4:5], Gij[:, 5:6], Gij[:, 6:7])
+    tx_, ty_, tz_ = (Gij[..., 0:1], Gij[..., 1:2], Gij[..., 2:3])
+    qx, qy, qz, qw = (
+        Gij[..., 3:4], Gij[..., 4:5], Gij[..., 5:6], Gij[..., 6:7]
+    )
     # quat_act with v = (x0, y0, 1)  (uv = 2 qv x v; out = v + qw uv + qv x uv)
     uvx = 2.0 * (qy - qz * y0)
     uvy = 2.0 * (qz * x0 - qx)
@@ -223,12 +219,68 @@ def _reproject_edges_lattice(cfg: VOConfig, state: VOState, ii, jj, kk):
     X1 = x0 + qw * uvx + (qy * uvz - qz * uvy) + d * tx_
     Y1 = y0 + qw * uvy + (qz * uvx - qx * uvz) + d * ty_
     Z1 = 1.0 + qw * uvz + (qx * uvy - qy * uvx) + d * tz_
-
     Z = jnp.maximum(Z1, 0.1)
     u = fx * (X1 / Z) + cx
     v = fy * (Y1 / Z) + cy
-    # single interleave at the boundary (one materialization, not a chain)
-    return jnp.stack([u, v], axis=-1).reshape(NC * M, P, P, 2)
+    return u, v
+
+
+def _reproject_lattice_planar(cfg: VOConfig, state: VOState):
+    """PLANAR lattice reprojection: (u, v [NC, M*PP], uc, vc [NC, M]).
+
+    Exploits two lattice invariants the per-edge path paid for on every
+    update: patch data depends only on (host row, m) — gathered once per
+    HOST ROW ([NI] frame rows of the planar buffers) instead of per edge
+    (a T x redundant [E, 3, P, P] gather) — and all edges of a cell share
+    the relative pose. Invalid cells produce garbage coords; every consumer
+    masks them (corr vmask, BA weight gates), matching the sanitized
+    edge_table semantics."""
+    M, NI, T, r = cfg.M, cfg.NI, cfg.T, cfg.PATCH_LIFETIME
+    L = state.l2g.shape[0]
+    F = state.poses.shape[0]
+    n = state.n
+    MPP = state.pat_x.shape[1]
+    PP = MPP // M
+
+    from .state import host_of_row
+
+    rows = jnp.arange(NI, dtype=jnp.int32)
+    hosts = host_of_row(rows, n, NI)                           # [NI]
+    gh = jnp.clip(state.l2g[jnp.clip(hosts, 0, L - 1)], 0, F - 1)
+    px = state.pat_x[gh]                                       # [NI, MPP]
+    py = state.pat_y[gh]
+    pd = state.pat_d[gh]                                       # [NI, M]
+
+    jj_c = hosts[:, None] + (jnp.arange(T, dtype=jnp.int32)[None, :]
+                             - (r - 1))                        # [NI, T]
+    pi = state.poses[gh]                                       # [NI, 7]
+    gj = jnp.clip(state.l2g[jnp.clip(jj_c, 0, L - 1)], 0, F - 1)
+    pj = state.poses[gj]                                       # [NI, T, 7]
+    Gij = lops.se3_mul(pj, lops.se3_inv(pi)[:, None, :])       # [NI, T, 7]
+
+    dpp = jnp.broadcast_to(pd[:, :, None], (NI, M, PP)).reshape(NI, 1, MPP)
+    u, v = _quat_project(
+        Gij, px[:, None, :], py[:, None, :], dpp, state.intrinsics
+    )                                                          # [NI, T, MPP]
+    uc, vc = _quat_project(
+        Gij, state.pat_cx[gh][:, None, :], state.pat_cy[gh][:, None, :],
+        pd[:, None, :], state.intrinsics,
+    )                                                          # [NI, T, M]
+    NC = NI * T
+    return (u.reshape(NC, MPP), v.reshape(NC, MPP),
+            uc.reshape(NC, M), vc.reshape(NC, M))
+
+
+def _reproject_edges_lattice(cfg: VOConfig, state: VOState, ii, jj, kk):
+    """Interleaved [E, P, P, 2] coords for the full lattice edge set (oracle
+    and non-fused2 layouts; the fused2 path consumes the planar form
+    directly). One stack/materialization at the boundary."""
+    M, NI, T = cfg.M, cfg.NI, cfg.T
+    MPP = state.pat_x.shape[1]
+    PP = MPP // M
+    P = int(round(PP ** 0.5))
+    u, v, _, _ = _reproject_lattice_planar(cfg, state)
+    return jnp.stack([u, v], axis=-1).reshape(NI * T * M, P, P, 2)
 
 
 def _fold_corr_fc1(params, layout: str = "folded"):
@@ -251,19 +303,40 @@ def _resolve_corr_impl(cfg: VOConfig) -> str:
 def _edge_corr_ctx_lattice(cfg: VOConfig, state: VOState, ii, jj, kk):
     """Correlation + context for the FULL edge set via the lattice kernel.
 
-    The flat edge view (edge_table) is lattice row-major, so reprojected
-    coords reshape directly to [NI, T, M, P, P, 2] and corr_lattice2 reads
-    the feature/gmap rings with no per-edge gather, sort, or unsort
-    (ref semantics: Ramp_vo.py:175-182)."""
+    Returns (target [E, 2] center reprojections, corr_in, ctx). The default
+    fused2 layout runs fully PLANAR: reprojection produces (u, v, uc, vc)
+    planar arrays and the kernel wrapper packs its scalar tables from them
+    directly — the interleaved [E, P, P, 2] coords array (whose (3, 2)
+    minor dims XLA tiles to (8, 128) at ~170x physical padding) never
+    exists (ref semantics: Ramp_vo.py:175-182)."""
     M, MEM, NI, T = cfg.M, cfg.MEM, cfg.NI, cfg.T
     P = state.gmap_r.shape[-3]
     L = state.l2g.shape[0]
+
+    h4, w4 = state.hw4
+    if cfg.CORR_LAYOUT == "fused2" and cfg.CELL_REPROJECT:
+        u, v, uc, vc = _reproject_lattice_planar(cfg, state)
+        target = jnp.stack(
+            [uc.reshape(-1), vc.reshape(-1)], axis=-1
+        )                                                   # [E, 2]
+        corr_in = corr_lattice_fused2(
+            state.gmap_r, state.fmap1_r, state.fmap2_r,
+            (u, v, uc, vc), state.cell_valid,
+            state.n, state.slotmap, cfg.PATCH_LIFETIME, 3,
+            interpret=cfg.CORR_IMPL == "lattice_interpret",
+            prepadded=True, hw=(h4, w4, h4 // 4, w4 // 4),
+            lat=(NI, T, M, P),
+        )
+        kk_rows = kk.reshape(NI, T, M)[:, 0, :].reshape(-1)
+        slot_k = state.slotmap[jnp.clip(kk_rows // M, 0, L - 1)]
+        gidx = jnp.clip(slot_k, 0, MEM - 1) * M + kk_rows % M
+        ctx = state.imap_r.reshape(MEM * M, -1)[gidx].astype(jnp.float32)
+        return target, corr_in, ctx
 
     if cfg.CELL_REPROJECT:
         coords = _reproject_edges_lattice(cfg, state, ii, jj, kk)
     else:
         coords = _reproject_edges(cfg, state, ii, jj, kk)
-    h4, w4 = state.hw4
     if cfg.CORR_LAYOUT in ("fused", "fused2", "paired"):
         # paired 128-lane layout: the kernel emits 8x8-compacted windows
         # (one constant 0/1 MXU matmul in-kernel, 3x less output than the
@@ -304,7 +377,8 @@ def _edge_corr_ctx_lattice(cfg: VOConfig, state: VOState, ii, jj, kk):
     slot_k = state.slotmap[jnp.clip(kk_rows // M, 0, L - 1)]
     gidx = jnp.clip(slot_k, 0, MEM - 1) * M + kk_rows % M
     ctx = state.imap_r.reshape(MEM * M, -1)[gidx].astype(jnp.float32)
-    return coords, corr_in, ctx
+    target = coords[:, P // 2, P // 2, :]
+    return target, corr_in, ctx
 
 
 def _edge_corr_ctx(cfg: VOConfig, state: VOState, ii, jj, kk):
@@ -318,7 +392,7 @@ def _edge_corr_ctx(cfg: VOConfig, state: VOState, ii, jj, kk):
     poses_i = state.poses[jnp.clip(state.l2g[jnp.clip(ii, 0, L - 1)], 0, F - 1)]
     poses_j = state.poses[jnp.clip(state.l2g[jnp.clip(jj, 0, L - 1)], 0, F - 1)]
     rows = jnp.clip(_patch_rows(state, kk, M), 0, F * M - 1)
-    patches_e = state.patches[rows]
+    patches_e = _patches_rows(state, rows)
 
     coords = transform_edges(poses_i, poses_j, patches_e, state.intrinsics)
 
@@ -359,7 +433,8 @@ def _edge_corr_ctx(cfg: VOConfig, state: VOState, ii, jj, kk):
     corr_in = corr_stack(c1, c2).astype(jnp.float32)
 
     ctx = state.imap_r.reshape(MEM * M, -1)[gidx].astype(jnp.float32)
-    return coords, corr_in, ctx
+    target = coords[:, P // 2, P // 2, :]
+    return target, corr_in, ctx
 
 
 def _probe_median(cfg: VOConfig, update_fn, params, state: VOState):
@@ -372,7 +447,7 @@ def _probe_median(cfg: VOConfig, update_fn, params, state: VOState):
     jj = jnp.full((M,), n, jnp.int32)
 
     # the probe target frame n was provisionally registered by _commit
-    coords, corr_in, ctx = _edge_corr_ctx(cfg, state, ii, jj, kk)
+    _target, corr_in, ctx = _edge_corr_ctx(cfg, state, ii, jj, kk)
     net0 = jnp.zeros((M, DIM), jnp.float32)
     _, (delta, _w) = update_fn(params, net0, ctx, corr_in, ii, jj, kk, None)
     return jnp.quantile(jnp.linalg.norm(delta, axis=-1), 0.5)
@@ -434,12 +509,12 @@ def _update(cfg: VOConfig, update_fn, params, state: VOState,
 
     if oracle is None:
         if _resolve_corr_impl(cfg).startswith("lattice"):
-            coords, corr_in, ctx = _edge_corr_ctx_lattice(
+            target0, corr_in, ctx = _edge_corr_ctx_lattice(
                 cfg, state, ii, jj, kk
             )
             lattice = (cfg.NI, cfg.T, cfg.M)
         else:
-            coords, corr_in, ctx = _edge_corr_ctx(cfg, state, ii, jj, kk)
+            target0, corr_in, ctx = _edge_corr_ctx(cfg, state, ii, jj, kk)
             lattice = None
         net_flat, (delta, weight) = update_fn(
             params, net_flat, ctx, corr_in, ii, jj, kk, valid, lattice
@@ -451,8 +526,9 @@ def _update(cfg: VOConfig, update_fn, params, state: VOState,
         else:
             coords = _reproject_edges(cfg, state, ii, jj, kk)
         delta, weight = oracle(state, ii, jj, kk, coords)
+        target0 = coords[:, P // 2, P // 2, :]
 
-    target = coords[:, P // 2, P // 2, :] + delta
+    target = target0 + delta
     weight = filter_features(weight, target, hw4)
     weight = jnp.where(valid[:, None], weight, 0.0)
 
@@ -461,13 +537,15 @@ def _update(cfg: VOConfig, update_fn, params, state: VOState,
     win_log = base + jnp.arange(PW)
     win_ok = win_log < n
     win_g = state.l2g[jnp.clip(win_log, 0, L - 1)]
-    posew = state.poses[jnp.clip(jnp.where(win_ok, win_g, 0), 0, F - 1)]
+    win_gc = jnp.clip(jnp.where(win_ok, win_g, 0), 0, F - 1)
+    posew = state.poses[win_gc]
 
-    q = jnp.arange(PW * M, dtype=jnp.int32)
-    prow_log = base * M + q
-    prow_ok = prow_log < n * M
-    prow_g = _patch_rows(state, prow_log, M)
-    pwin = state.patches[jnp.clip(jnp.where(prow_ok, prow_g, 0), 0, F * M - 1)]
+    # window patch CENTERS from the planar buffers ([PW] frame-row gathers
+    # — BA only ever reads centers + per-patch depth, ba_cuda.cu:316-338)
+    cwin = jnp.stack(
+        [state.pat_cx[win_gc], state.pat_cy[win_gc], state.pat_d[win_gc]],
+        axis=-1,
+    ).reshape(PW * M, 3)
 
     t0 = jnp.maximum(jnp.where(state.initialized, n - cfg.OPTIMIZATION_WINDOW, 1), 1)
     if _resolve_corr_impl(cfg).startswith("lattice"):
@@ -480,8 +558,8 @@ def _update(cfg: VOConfig, update_fn, params, state: VOState,
         win_rows = jnp.where(held & (wf < n), wrow, -1)
     else:
         ba_lat, win_rows = None, None
-    posew2, pwin2 = ba_infer(
-        posew, pwin, state.intrinsics, target, weight,
+    posew2, dwin2 = ba_infer(
+        posew, cwin, state.intrinsics, target, weight,
         jnp.float32(1e-4),
         ii - base, jj - base, kk - base * M,
         t0 - base, n - base,
@@ -492,14 +570,14 @@ def _update(cfg: VOConfig, update_fn, params, state: VOState,
     )
 
     poses = state.poses.at[jnp.where(win_ok, win_g, F)].set(posew2, mode="drop")
-    patches = state.patches.at[jnp.where(prow_ok, prow_g, F * M)].set(
-        pwin2, mode="drop"
+    pat_d = state.pat_d.at[jnp.where(win_ok, win_g, F)].set(
+        dwin2.reshape(PW, M), mode="drop"
     )
 
     return state.replace(
         net=net_flat.reshape(state.net.shape),
         last_weight=weight.reshape(state.last_weight.shape),
-        poses=poses, patches=patches,
+        poses=poses, pat_d=pat_d,
     )
 
 
@@ -533,7 +611,7 @@ def _keyframe(cfg: VOConfig, state: VOState) -> VOState:
         )
         flow = flow_mag_edges(
             jnp.broadcast_to(pa, (M, 7)), jnp.broadcast_to(pb, (M, 7)),
-            state.patches[rows], state.intrinsics, beta=0.5,
+            _patches_rows(state, rows), state.intrinsics, beta=0.5,
         ).mean()
         return jnp.where(ok, flow, 0.0)
 
@@ -1018,11 +1096,11 @@ class RampVO:
 
         st = self.state
         cfg = self.cfg
-        m = int(st.counter) * cfg.M
         g = jnp.arange(int(st.counter))
         poses = st.poses[g]  # world-to-camera per global frame
-        patches = st.patches[: m].reshape(int(st.counter), cfg.M, 3, 3, 3)
-        centers = patches[:, :, :, 1, 1]  # [n, M, 3] (x, y, invdepth)
+        centers = jnp.stack(
+            [st.pat_cx[g], st.pat_cy[g], st.pat_d[g]], axis=-1
+        )  # [n, M, 3] (x, y, invdepth)
 
         fx, fy, cx, cy = st.intrinsics
         X0 = jnp.stack(

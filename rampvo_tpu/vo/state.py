@@ -40,7 +40,20 @@ from .config import VOConfig
 class VOState:
     # ---- frame-global buffers (row = global frame id) ----
     poses: jnp.ndarray        # [F, 7] world-to-camera SE3
-    patches: jnp.ndarray      # [F*M, 3, P, P]
+    # patches are stored PLANAR (structure-of-arrays): the interleaved
+    # [F*M, 3, P, P] form has minor dims (3, 3) that XLA tiles to (8, 128)
+    # — a ~170x physical padding paid by every gather/scatter (measured as
+    # the bulk of the r03 5 ms in-frame reproject cost). x/y are immutable
+    # per frame after commit; inverse depth is per-PATCH (constant over the
+    # patch in both this runtime and the reference) and lives in pat_d;
+    # centers are cached in pat_cx/pat_cy so BA/keyframe/point-cloud never
+    # do stride-PP lane extractions. The `patches` property reconstructs
+    # the interleaved view for host-side/legacy consumers.
+    pat_x: jnp.ndarray        # [F, M*P*P] pixel x at 1/4 res
+    pat_y: jnp.ndarray        # [F, M*P*P]
+    pat_d: jnp.ndarray        # [F, M] inverse depth (per patch)
+    pat_cx: jnp.ndarray       # [F, M] center-pixel x
+    pat_cy: jnp.ndarray       # [F, M] center-pixel y
     colors: jnp.ndarray       # [F, M, 3]
     delta_parent: jnp.ndarray  # [F] int32, -1 = none
     delta_dP: jnp.ndarray     # [F, 7] relative SE3 for removed/skipped frames
@@ -77,6 +90,21 @@ class VOState:
     # ---- static aux (not a pytree leaf) ----
     hw4: tuple = struct.field(pytree_node=False, default=None)
     # interior (h, w) of the padded fmap rings (= input resolution / 4)
+
+    @property
+    def patches(self) -> jnp.ndarray:
+        """Interleaved [F*M, 3, P, P] view of the planar patch buffers
+        (host-side/legacy consumers only — reconstructing this on the hot
+        path would reintroduce the (3, 3)-minor-dim layout tax)."""
+        F, M = self.pat_d.shape
+        PP = self.pat_x.shape[1] // M
+        P = int(round(PP ** 0.5))
+        px = self.pat_x.reshape(F * M, P, P)
+        py = self.pat_y.reshape(F * M, P, P)
+        pd = jnp.broadcast_to(
+            self.pat_d.reshape(F * M)[:, None, None], (F * M, P, P)
+        )
+        return jnp.stack([px, py, pd], axis=1)
 
 
 def host_of_row(i_row, n, NI: int):
@@ -128,7 +156,11 @@ def init_state(cfg: VOConfig, enc_state, ht: int, wd: int, P: int = 3,
     poses = jnp.zeros((F, 7), jnp.float32).at[:, 6].set(1.0)
     return VOState(
         poses=poses,
-        patches=jnp.zeros((F * M, 3, P, P), jnp.float32),
+        pat_x=jnp.zeros((F, M * P * P), jnp.float32),
+        pat_y=jnp.zeros((F, M * P * P), jnp.float32),
+        pat_d=jnp.zeros((F, M), jnp.float32),
+        pat_cx=jnp.zeros((F, M), jnp.float32),
+        pat_cy=jnp.zeros((F, M), jnp.float32),
         colors=jnp.zeros((F, M, 3), jnp.float32),
         delta_parent=jnp.full((F,), -1, jnp.int32),
         delta_dP=jnp.zeros((F, 7), jnp.float32).at[:, 6].set(1.0),

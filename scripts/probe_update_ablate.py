@@ -136,17 +136,19 @@ def main():
             host = prow_log // M
             g = st.l2g[jnp.clip(host, 0, L - 1)]
             prow_g = g * M + prow_log % M
-            pwin = st.patches[
-                jnp.clip(jnp.where(prow_ok, prow_g, 0), 0, F * M - 1)
-            ]
+            win_gc = jnp.clip(jnp.where(win_ok, win_g, 0), 0, F - 1)
+            cwin = jnp.stack(
+                [st.pat_cx[win_gc], st.pat_cy[win_gc], st.pat_d[win_gc]],
+                axis=-1,
+            ).reshape(PW * M, 3)
             t0_ = jnp.maximum(n - cfg.OPTIMIZATION_WINDOW, 1)
             ba_lat = (cfg.NI, cfg.T, M)
             wf = base + jnp.arange(PW, dtype=jnp.int32)
             wrow = jnp.mod(wf, cfg.NI)
             held = host_of_row(wrow, n, cfg.NI) == wf
             win_rows = jnp.where(held & (wf < n), wrow, -1)
-            posew2, pwin2 = ba_infer(
-                posew, pwin, st.intrinsics, target, weight,
+            posew2, dwin2 = ba_infer(
+                posew, cwin, st.intrinsics, target, weight,
                 jnp.float32(1e-4),
                 ii - base, jj - base, kk - base * M,
                 t0_ - base, n - base,
@@ -156,10 +158,10 @@ def main():
             poses = st.poses.at[jnp.where(win_ok, win_g, F)].set(
                 posew2, mode="drop"
             )
-            patches = st.patches.at[
-                jnp.where(prow_ok, prow_g, F * M)
-            ].set(pwin2, mode="drop")
-            st = st.replace(poses=poses, patches=patches)
+            pat_d = st.pat_d.at[jnp.where(win_ok, win_g, F)].set(
+                dwin2.reshape(PW, M), mode="drop"
+            )
+            st = st.replace(poses=poses, pat_d=pat_d)
 
         return st.replace(
             net=net_flat.reshape(st.net.shape),

@@ -62,9 +62,9 @@ class TestBAInfer:
         poses0 = lops.se3_mul(lops.se3_exp(jnp.asarray(noise)), poses_gt)
 
         weights = jnp.ones((ii.shape[0], 2), jnp.float32)
-        poses1, pwin1 = ba_infer(
+        poses1, _d1 = ba_infer(
             poses0,
-            patches_from_centers(centers),
+            centers,
             intr,
             targets,
             weights,
@@ -89,9 +89,9 @@ class TestBAInfer:
         bad = centers.at[:, 2].mul(1.5)  # corrupt inverse depths
 
         weights = jnp.ones((ii.shape[0], 2), jnp.float32)
-        _, pwin1 = ba_infer(
+        _, d1 = ba_infer(
             poses_gt,
-            patches_from_centers(bad),
+            bad,
             intr,
             targets,
             weights,
@@ -106,7 +106,7 @@ class TestBAInfer:
             iterations=10,
             structure_only=True,
         )
-        d1 = np.asarray(pwin1[:, 2, 0, 0])
+        d1 = np.asarray(d1)
         d_gt = np.asarray(centers[:, 2])
         assert np.abs(d1 - d_gt).max() < 1e-2
 
@@ -118,7 +118,7 @@ class TestBAInfer:
         weights = jnp.ones((E, 2), jnp.float32)
         args = dict(N=3, M=M, iterations=2)
         poses_a, _ = ba_infer(
-            poses_gt, patches_from_centers(centers), intr, targets, weights,
+            poses_gt, centers, intr, targets, weights,
             jnp.float32(1e-4), ii, jj, kk, jnp.int32(1), jnp.int32(4), **args
         )
 
@@ -131,7 +131,7 @@ class TestBAInfer:
         wt2 = jnp.concatenate([weights, jnp.ones((pad, 2))])
         vmask = jnp.concatenate([jnp.ones(E, bool), jnp.zeros(pad, bool)])
         poses_b, _ = ba_infer(
-            poses_gt, patches_from_centers(centers), intr, tg2, wt2,
+            poses_gt, centers, intr, tg2, wt2,
             jnp.float32(1e-4), ii2, jj2, kk2, jnp.int32(1), jnp.int32(4),
             valid=vmask, **args
         )
@@ -142,7 +142,7 @@ class TestBAInfer:
         M = centers.shape[0]
         weights = jnp.ones((ii.shape[0], 2), jnp.float32)
         poses1, _ = ba_infer(
-            poses_gt, patches_from_centers(centers), intr, targets, weights,
+            poses_gt, centers, intr, targets, weights,
             jnp.float32(1e-4), ii, jj, kk, jnp.int32(1), jnp.int32(4),
             N=3, M=M, iterations=3,
         )
@@ -242,11 +242,12 @@ class TestLatticeAssembly:
         )
         pwin = jnp.asarray(rng.rand(Mwin, 3, 3, 3), jnp.float32)
         pwin = pwin.at[:, 2].set(0.5 + 0.2 * pwin[:, 2])
+        cwin = pwin[:, :, 1, 1]  # ba_infer is centers-based
         intr = jnp.asarray([40.0, 40.0, 32.0, 24.0], jnp.float32)
         targets = jnp.asarray(rng.rand(E, 2) * 60, jnp.float32)
         weights = jnp.asarray(rng.rand(E, 2), jnp.float32)
 
-        args = (poses7, pwin, intr, targets, weights, jnp.float32(1e-4),
+        args = (poses7, cwin, intr, targets, weights, jnp.float32(1e-4),
                 iif, jjf, kkf, jnp.int32(1), jnp.int32(n))
         p_a, q_a = ba_infer(*args, N=Nwin, M=Mwin, iterations=2, valid=vf)
 
@@ -274,7 +275,7 @@ class TestLatticeAssembly:
             linearize_center,
         )
 
-        centers = pwin[kkf, :, 1, 1]
+        centers = cwin[kkf]
         intr_e = jnp.broadcast_to(intr, (E, 4))
         coords, Z, Ji, Jj, Jz = linearize_center(
             poses7, centers, intr_e, intr_e, iif, jjf

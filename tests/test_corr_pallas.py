@@ -186,6 +186,24 @@ class TestCorrLattice:
             d = float(jnp.abs(a - b).max())
             assert d / scale < 1e-2, (name, d / scale)
 
+        # PLANAR coords interface (the production runtime path) must match
+        # the interleaved one exactly — same scalar tables, same kernel
+        NC = NI * T
+        MPP = M * P * P
+        u = coords[..., 0].reshape(NC, MPP)
+        v = coords[..., 1].reshape(NC, MPP)
+        uc = coords[:, :, :, P // 2, P // 2, 0].reshape(NC, M)
+        vc = coords[:, :, :, P // 2, P // 2, 1].reshape(NC, M)
+        bi = corr_lattice_fused2(
+            gmap_r, fmap1, fmap2, coords, cell_valid, jnp.int32(n),
+            slotmap, r, 3, interpret=True,
+        ).astype(jnp.float32)
+        bp = corr_lattice_fused2(
+            gmap_r, fmap1, fmap2, (u, v, uc, vc), cell_valid, jnp.int32(n),
+            slotmap, r, 3, interpret=True, lat=(NI, T, M, P),
+        ).astype(jnp.float32)
+        np.testing.assert_array_equal(np.asarray(bi), np.asarray(bp))
+
     @pytest.mark.slow
     def test_folded_layout_permutation(self):
         """folded=True output + folded_corr_perm == reference stacked layout

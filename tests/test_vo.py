@@ -66,7 +66,7 @@ class TestEdgeTable:
             l2g=st.l2g.at[: n].set(jnp.arange(n)),
             slotmap=st.slotmap.at[:n].set(jnp.arange(n) % CFG.MEM),
             intrinsics=jnp.asarray([25.0, 25.0, W / 8, H / 8], jnp.float32),
-            patches=st.patches.at[:, 2].set(0.5),
+            pat_d=st.pat_d + 0.5,
         )
         return st
 
