@@ -252,7 +252,7 @@ def fold_corr_fc1(params, layout: str = "folded"):
 
     layout "folded": corr_lattice2_stacked(folded=True) columns
     (ops.corr_pallas.folded_corr_perm). layout "paired": the 128-lane
-    paired layout of corr_lattice_fused/_compact (paired_corr_perm;
+    paired layout of corr_lattice_fused2 (paired_corr_perm;
     garbage lanes get zero weight rows). The fold is linear, so autodiff
     through it routes gradients back to the canonical checkpoint layout —
     the training path folds once per step outside the scan."""

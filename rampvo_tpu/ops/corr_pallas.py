@@ -1,26 +1,32 @@
-"""Pallas TPU correlation kernel.
+"""Pallas TPU correlation kernels for the edge lattice.
 
 The XLA formulations of `ops.corr` are bounded by the TPU's scattered-gather
 rate (~50-80 GB/s measured): every (edge, patch-pixel) window re-reads HBM.
-This kernel removes HBM gathers entirely:
+These kernels remove HBM gathers entirely: one grid step = one lattice cell
+(M same-host/same-target edges); the target slot's zero-padded feature map
+is DMA'd into a VMEM scratch once per slot change; per edge, ONE
+[TY, TX, C] bounding tile around the patch center is sliced from VMEM and
+correlated with all P^2 patch-pixel features on the MXU; window alignment,
+8x8 compaction, and the bilinear blend run in-kernel.
 
-  * edges are grouped by target ring slot; a slot's zero-padded feature map
-    is DMA'd into a VMEM scratch once per contiguous group (~8MB at 1/4
-    res - one pass over the feature rings per call),
-  * per edge, ONE [TY, TX, C] bounding tile around the patch center is
-    sliced from VMEM and correlated with all P^2 patch-pixel features in a
-    single MXU matmul ([TY*TX, C] x [C, P^2]),
-  * each pixel's (2R+2)^2 window is then cut from the dot-map in-kernel
-    (row offsets land on the alignment-free major dim; columns use an
-    8-aligned 16-wide band), leaving only a small x-remainder one-hot
-    einsum + bilinear blend outside.
-
-Exploits the same structure as ops.corr_tiled: patch inverse depth is
-constant across a patch (ramp/utils.py:99-101), so its 9 reprojected pixels
-stay within a few px of the center. A pixel farther than `SPREAD` px gets a
-zeroed window (treated as out-of-bounds - geometry the BA robust gates
-discard anyway, ba_cuda.cu:296-308). Otherwise semantics match
+Exploits the lattice structure: patch inverse depth is constant across a
+patch (ramp/utils.py:99-101), so its 9 reprojected pixels stay within a few
+px of the center. A pixel farther than `SPREAD` px gets a zeroed window
+(treated as out-of-bounds - geometry the BA robust gates discard anyway,
+ba_cuda.cu:296-308). Otherwise semantics match
 altcorr/correlation_kernel.cu:83-136,221-232 exactly.
+
+Kept implementations (dead-end variants measured and removed r04; see
+STATUS.md for the graveyard record):
+  * `corr_lattice_fused2` — the production TPU kernel (CORR_LAYOUT
+    "fused2"); hardware-verified (scripts/check_layouts_onchip.py).
+  * `corr_lattice2` / `corr_lattice2_stacked` — band-output kernel + XLA
+    finish; the interpret-friendly CPU reference (CORR_LAYOUT "stacked" /
+    "folded"; the folded form feeds the corr-MLP weight-fold path). The
+    folded/stacked dynamic-amount rolls MISCOMPILE on real TPUs — CPU and
+    parity-test use only.
+  * `corr_train_fused` (+ `corr_sched_fused`/`corr_sched_bwd`) — the
+    training path: static sorted edge schedule, custom VJP.
 """
 
 from __future__ import annotations
@@ -41,427 +47,12 @@ TX = 24               # tile cols: >= D + 2*SPREAD + 7 (8-align slack)
 BAND = 16             # aligned x-band written per window
 
 
-def _kernel(slot_of_block, fmap_hbm, g_ref, ty_ref, tx_ref, oy_ref, xb_ref,
-            out_ref, scratch, dm_scratch, sem, *, C, PP, D):
-    b = pl.program_id(0)
-    slot = slot_of_block[b]
-    prev = slot_of_block[jnp.maximum(b - 1, 0)]
-    need = jnp.logical_or(b == 0, slot != prev)
-
-    @pl.when(need)
-    def _load():
-        cp = pltpu.make_async_copy(fmap_hbm.at[slot], scratch, sem)
-        cp.start()
-        cp.wait()
-
-    UNROLL = 4
-
-    def edge_group(i, carry):
-        for u in range(UNROLL):  # amortize loop/addressing overhead
-            e = i * UNROLL + u
-            tile = scratch[
-                pl.ds(ty_ref[0, e, 0], TY),
-                pl.ds(pl.multiple_of(tx_ref[0, e, 0], 8), TX), :
-            ]
-            dm = jnp.dot(
-                tile.reshape(TY * TX, C),
-                g_ref[e],
-                preferred_element_type=jnp.float32,
-            )  # [TY*TX, PP]
-            dm_scratch[...] = dm.reshape(TY, TX, PP)
-            for q in range(PP):  # unrolled
-                band = dm_scratch[
-                    pl.ds(oy_ref[0, e, q], D),
-                    pl.ds(pl.multiple_of(xb_ref[0, e, q], 8), BAND), q
-                ]
-                out_ref[e, q] = band.astype(out_ref.dtype)  # [D, BAND]
-        return carry
-
-    jax.lax.fori_loop(0, E_BLK // UNROLL, edge_group, 0)
-
-
-@functools.partial(jax.jit, static_argnames=("radius", "interpret"))
-def corr_pallas(
-    gmap: jnp.ndarray,     # [Mg, P, P, C]
-    fmap: jnp.ndarray,     # [MEM, H, W, C]
-    coords: jnp.ndarray,   # [E, P, P, 2]
-    ii: jnp.ndarray,       # [E] gmap rows
-    jj: jnp.ndarray,       # [E] ring slots
-    radius: int = 3,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    E, P, _, _ = coords.shape
-    MEM, H, W, C = fmap.shape
-    R = radius
-    D = 2 * R + 2
-    PP = P * P
-    assert TY >= D + 2 * SPREAD and TX >= D + 2 * SPREAD + 7
-    pad = 3 * D  # generous: tiles of clamped centers stay inside the pad
-
-    # ---- group edges by slot, pad groups to E_BLK multiples ----
-    jj = jnp.clip(jj, 0, MEM - 1).astype(jnp.int32)
-    order = jnp.argsort(jj)
-    jj_s = jj[order]
-    counts = jax.ops.segment_sum(jnp.ones_like(jj), jj, num_segments=MEM)
-    group_start = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
-    )
-    rank = jnp.arange(E, dtype=jnp.int32) - group_start[jj_s]
-    padded_counts = ((counts + E_BLK - 1) // E_BLK) * E_BLK
-    padded_start = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32),
-         jnp.cumsum(padded_counts)[:-1].astype(jnp.int32)]
-    )
-    pos = padded_start[jj_s] + rank
-
-    E_pad = int(np.ceil(E / E_BLK) * E_BLK) + MEM * E_BLK
-    NB = E_pad // E_BLK
-    blk_slot = (
-        jnp.searchsorted(
-            padded_start, jnp.arange(NB, dtype=jnp.int32) * E_BLK, side="right"
-        ).astype(jnp.int32) - 1
-    )
-    blk_slot = jnp.clip(blk_slot, 0, MEM - 1)
-
-    # ---- window starts (padded coords) + per-edge tile bases ----
-    x = coords[..., 0]
-    y = coords[..., 1]
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    sy = jnp.clip(y0, -D, H + D) - R + pad
-    sx = jnp.clip(x0, -D, W + D) - R + pad
-
-    ty = sy[:, P // 2, P // 2] - SPREAD                   # tile row base
-    tx = ((sx[:, P // 2, P // 2] - SPREAD) // 8) * 8      # aligned col base
-
-    oy = sy - ty[:, None, None]          # window row offset inside the tile
-    ox = sx - tx[:, None, None]          # window col offset inside the tile
-    ok = (oy >= 0) & (oy <= TY - D) & (ox >= 0) & (ox <= TX - D)
-    oy = jnp.clip(oy, 0, TY - D)
-    ox = jnp.clip(ox, 0, TX - D)
-    xb = jnp.clip((ox // 8) * 8, 0, TX - BAND)  # aligned 16-band per window
-    rem = ox - xb                               # in [0, 8)
-
-    g = jnp.swapaxes(jnp.take(gmap, ii, axis=0).reshape(E, PP, C), 1, 2)
-
-    def pad_scatter(arr):
-        out = jnp.zeros((E_pad,) + arr.shape[1:], arr.dtype)
-        return out.at[pos].set(arr[order])
-
-    g_p = pad_scatter(g)
-    ty_p = pad_scatter(ty).reshape(NB, E_BLK, 1)
-    tx_p = pad_scatter(tx).reshape(NB, E_BLK, 1)
-    oy_p = pad_scatter(oy.reshape(E, PP)).reshape(NB, E_BLK, PP)
-    xb_p = pad_scatter(xb.reshape(E, PP)).reshape(NB, E_BLK, PP)
-
-    fpad = jnp.pad(fmap, ((0, 0), (pad, pad), (pad, pad + 16), (0, 0)))
-    Hp, Wp = H + 2 * pad, W + 2 * pad + 16
-
-    band_p = pl.pallas_call(
-        functools.partial(_kernel, C=C, PP=PP, D=D),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(NB,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec((E_BLK, C, PP), lambda b, sob: (b, 0, 0)),
-                pl.BlockSpec((1, E_BLK, 1), lambda b, sob: (b, 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, E_BLK, 1), lambda b, sob: (b, 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, E_BLK, PP), lambda b, sob: (b, 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, E_BLK, PP), lambda b, sob: (b, 0, 0),
-                             memory_space=pltpu.SMEM),
-            ],
-            out_specs=pl.BlockSpec(
-                (E_BLK, PP, D, BAND), lambda b, sob: (b, 0, 0, 0)
-            ),
-            scratch_shapes=[
-                pltpu.VMEM((Hp, Wp, C), fmap.dtype),
-                pltpu.VMEM((TY, TX, PP), jnp.float32),
-                pltpu.SemaphoreType.DMA,
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (E_pad, PP, D, BAND), jnp.bfloat16
-        ),  # the reference's inference corr is fp16 (Ramp_vo.py autocast)
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        ),
-        interpret=interpret,
-    )(blk_slot, fpad, g_p, ty_p, tx_p, oy_p, xb_p)
-
-    # single-gather unsort: row for original edge i lives at pos[argsort(order)][i]
-    band = band_p[pos[jnp.argsort(order)]].astype(jnp.float32)
-
-    # x-remainder extraction: one-hot over the 16-band -> D columns
-    sel = (
-        rem.reshape(E, PP)[:, :, None, None]
-        + jnp.arange(D)[None, None, :, None]
-        == jnp.arange(BAND)[None, None, None, :]
-    ).astype(band.dtype)  # [E, PP, D(out), BAND(src)]
-    vol = jnp.einsum("eqbx,eqax->eqab", sel, band).reshape(E, P, P, D, D)
-    vol = vol * ok.reshape(E, P, P)[..., None, None].astype(vol.dtype)
-
-    # bilinear blend + reference window-order transpose
-    fx = (x - x0.astype(jnp.float32))[..., None, None]
-    fy = (y - y0.astype(jnp.float32))[..., None, None]
-    d = 2 * R + 1
-    out = (
-        (1 - fy) * (1 - fx) * vol[..., :d, :d]
-        + (1 - fy) * fx * vol[..., :d, 1:]
-        + fy * (1 - fx) * vol[..., 1:, :d]
-        + fy * fx * vol[..., 1:, 1:]
-    )
-    out = jnp.swapaxes(out[..., None], -2, -3)[..., 0]
-    return out.reshape(E, P, P, d * d)
-
-
-def _kernel2(slot_of_block, fmap1_hbm, fmap2_hbm, g_ref, scal_ref,
-             out1_ref, out2_ref, scratch1, scratch2, tile_scratch, g_scratch,
-             dmt_scratch, sem1, sem2, *, C, PP, D):
-    """Both pyramid levels, GANG edges per iteration.
-
-    A single skinny matmul per window set ([TY*TX, C] x [C, PP]) leaves the
-    MXU latency-bound; instead the tiles of GANG edges x 2 levels are staged
-    into one [GANG*2*TY*TX, C] scratch and contracted against the
-    concatenated patch features [C, GANG*PP] in ONE pipelined MXU matmul
-    (each edge only consumes its own 9 rows — the column redundancy buys
-    full pipelining).
-
-    The dot is computed TRANSPOSED (dot_general contracting g's C with the
-    tile's C, output [GANG*PP, GANG*2*TY*TX]) so that a window's D rows of
-    TX entries are CONTIGUOUS lanes of one dot-map row. Window extraction
-    is then a [D*TX]-contiguous load at a dynamic 32-aligned offset — the
-    lane-strided gathers of the naive layout (one lane per window pixel)
-    cost ~100 cycles each and dominated the kernel."""
-    b = pl.program_id(0)
-    slot = slot_of_block[b]
-    prev = slot_of_block[jnp.maximum(b - 1, 0)]
-    need = jnp.logical_or(b == 0, slot != prev)
-
-    @pl.when(need)
-    def _load():
-        cp1 = pltpu.make_async_copy(fmap1_hbm.at[slot], scratch1, sem1)
-        cp2 = pltpu.make_async_copy(fmap2_hbm.at[slot], scratch2, sem2)
-        cp1.start()
-        cp2.start()
-        cp1.wait()
-        cp2.wait()
-
-    # packed scalar layout per edge (see corr_pallas2):
-    # [0]=ty1 [1]=tx1 [2]=ty2 [3]=tx2 [4:13]=oy1 [13:22]=oy2
-    def edge_gang(i, carry):
-        for u in range(GANG):
-            e = i * GANG + u
-            for lvl, scratch in ((0, scratch1), (1, scratch2)):
-                tile = scratch[
-                    pl.ds(scal_ref[0, e, 2 * lvl], TY),
-                    pl.ds(pl.multiple_of(scal_ref[0, e, 2 * lvl + 1], 8), TX),
-                    :,
-                ]
-                row = (u * 2 + lvl) * TY * TX
-                tile_scratch[pl.ds(row, TY * TX), :] = tile.reshape(
-                    TY * TX, C
-                )
-            g_scratch[:, pl.ds(u * PP, PP)] = g_ref[e]
-
-        dmt = jax.lax.dot_general(
-            g_scratch[...], tile_scratch[...],
-            dimension_numbers=(((0,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [GANG*PP, GANG*2*TY*TX]
-        dmt_scratch[...] = dmt
-
-        for u in range(GANG):
-            e = i * GANG + u
-            for lvl, out_ref in ((0, out1_ref), (1, out2_ref)):
-                base = (u * 2 + lvl) * TY * TX
-                for q in range(PP):
-                    # dynamic lane offsets must be 128-aligned; load the
-                    # whole (static) tile row and rotate the value instead
-                    row = dmt_scratch[
-                        pl.ds(u * PP + q, 1), pl.ds(base, TY * TX)
-                    ]
-                    oy = scal_ref[0, e, 4 + lvl * PP + q]
-                    win = pltpu.roll(row, -oy * TX, 1)[:, : D * TX]
-                    out_ref[e, q] = win.astype(out_ref.dtype)
-        return carry
-
-    jax.lax.fori_loop(0, E_BLK // GANG, edge_gang, 0)
-
-
-@functools.partial(jax.jit, static_argnames=("radius", "interpret"))
-def corr_pallas2(
-    gmap: jnp.ndarray,     # [Mg, P, P, C]
-    fmap1: jnp.ndarray,    # [MEM, H, W, C]   level-1 ring
-    fmap2: jnp.ndarray,    # [MEM, H//4, W//4, C] level-2 ring
-    coords: jnp.ndarray,   # [E, P, P, 2]     level-1 coords
-    ii: jnp.ndarray,
-    jj: jnp.ndarray,
-    radius: int = 3,
-    interpret: bool = False,
-):
-    """Two-level correlation in one kernel pass (level-2 coords = coords/4,
-    matching ramp/Ramp_vo.py:180-182). Returns (corr1, corr2)."""
-    E, P, _, _ = coords.shape
-    MEM, H1, W1, C = fmap1.shape
-    _, H2, W2, _ = fmap2.shape
-    R = radius
-    D = 2 * R + 2
-    PP = P * P
-    pad = 3 * D
-
-    jj = jnp.clip(jj, 0, MEM - 1).astype(jnp.int32)
-    order = jnp.argsort(jj)
-    jj_s = jj[order]
-    counts = jax.ops.segment_sum(jnp.ones_like(jj), jj, num_segments=MEM)
-    group_start = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
-    )
-    rank = jnp.arange(E, dtype=jnp.int32) - group_start[jj_s]
-    padded_counts = ((counts + E_BLK - 1) // E_BLK) * E_BLK
-    padded_start = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32),
-         jnp.cumsum(padded_counts)[:-1].astype(jnp.int32)]
-    )
-    pos = padded_start[jj_s] + rank
-
-    E_pad = int(np.ceil(E / E_BLK) * E_BLK) + MEM * E_BLK
-    NB = E_pad // E_BLK
-    blk_slot = jnp.clip(
-        jnp.searchsorted(
-            padded_start, jnp.arange(NB, dtype=jnp.int32) * E_BLK, side="right"
-        ).astype(jnp.int32) - 1,
-        0, MEM - 1,
-    )
-    unsort = pos[jnp.argsort(order)]
-
-    def level_prep(c, H, W):
-        x = c[..., 0]
-        y = c[..., 1]
-        x0 = jnp.floor(x).astype(jnp.int32)
-        y0 = jnp.floor(y).astype(jnp.int32)
-        sy = jnp.clip(y0, -D, H + D) - R + pad
-        sx = jnp.clip(x0, -D, W + D) - R + pad
-        ty = sy[:, P // 2, P // 2] - SPREAD
-        tx = ((sx[:, P // 2, P // 2] - SPREAD) // 8) * 8
-        oy = sy - ty[:, None, None]
-        ox = sx - tx[:, None, None]
-        ok = (oy >= 0) & (oy <= TY - D) & (ox >= 0) & (ox <= TX - D)
-        oy = jnp.clip(oy, 0, TY - D)
-        ox = jnp.clip(ox, 0, TX - D)
-        return x, y, x0, y0, ty, tx, oy, ox, ok
-
-    prep1 = level_prep(coords, H1, W1)
-    prep2 = level_prep(coords / 4.0, H2, W2)
-
-    g = jnp.swapaxes(jnp.take(gmap, ii, axis=0).reshape(E, PP, C), 1, 2)
-
-    def pad_scatter(arr):
-        out = jnp.zeros((E_pad,) + arr.shape[1:], arr.dtype)
-        return out.at[pos].set(arr[order])
-
-    g_p = pad_scatter(g)
-
-    def level_cols(prep):
-        _, _, _, _, ty, tx, oy, _, _ = prep
-        return ty, tx, oy.reshape(E, PP)
-
-    ty1, tx1, oy1 = level_cols(prep1)
-    ty2, tx2, oy2 = level_cols(prep2)
-    # one packed SMEM operand (each SMEM window costs a fixed ~128KB slot)
-    scal = jnp.concatenate(
-        [ty1[:, None], tx1[:, None], ty2[:, None], tx2[:, None],
-         oy1, oy2], axis=1,
-    ).astype(jnp.int32)
-    scal_p = pad_scatter(scal).reshape(NB, E_BLK, 4 + 2 * PP)
-
-    def padded(fm, H, W):
-        # DMA slice extents must be 8-aligned on the sublane dim
-        hr = (-(H + 2 * pad)) % 8
-        wr = (-(W + 2 * pad + 16)) % 8
-        return jnp.pad(fm, ((0, 0), (pad, pad + hr), (pad, pad + 16 + wr),
-                            (0, 0)))
-
-    fpad1 = padded(fmap1, H1, W1)
-    fpad2 = padded(fmap2, H2, W2)
-    Hp1, Wp1 = fpad1.shape[1], fpad1.shape[2]
-    Hp2, Wp2 = fpad2.shape[1], fpad2.shape[2]
-
-    smem = lambda shp: pl.BlockSpec(
-        (1,) + shp, lambda b, sob: (b,) + (0,) * len(shp),
-        memory_space=pltpu.SMEM,
-    )
-    band1, band2 = pl.pallas_call(
-        functools.partial(_kernel2, C=C, PP=PP, D=D),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(NB,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec((E_BLK, C, PP), lambda b, sob: (b, 0, 0)),
-                smem((E_BLK, 4 + 2 * PP)),
-            ],
-            out_specs=[
-                pl.BlockSpec((E_BLK, PP, 1, D * TX),
-                             lambda b, sob: (b, 0, 0, 0)),
-                pl.BlockSpec((E_BLK, PP, 1, D * TX),
-                             lambda b, sob: (b, 0, 0, 0)),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((Hp1, Wp1, C), fmap1.dtype),
-                pltpu.VMEM((Hp2, Wp2, C), fmap2.dtype),
-                pltpu.VMEM((GANG * 2 * TY * TX, C), fmap1.dtype),
-                pltpu.VMEM((C, GANG * PP), fmap1.dtype),
-                pltpu.VMEM((GANG * PP, GANG * 2 * TY * TX), jnp.float32),
-                pltpu.SemaphoreType.DMA,
-                pltpu.SemaphoreType.DMA,
-            ],
-        ),
-        out_shape=[
-            jax.ShapeDtypeStruct((E_pad, PP, 1, D * TX), jnp.bfloat16),
-            jax.ShapeDtypeStruct((E_pad, PP, 1, D * TX), jnp.bfloat16),
-        ],
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        ),
-        interpret=interpret,
-    )(blk_slot, fpad1, fpad2, g_p, scal_p)
-
-    def finish(band_p, prep):
-        x, y, x0, y0, _, _, _, ox, ok = prep
-        band = band_p[unsort].astype(jnp.float32).reshape(E, PP, D, TX)
-        sel = (
-            ox.reshape(E, PP)[:, :, None, None]
-            + jnp.arange(D)[None, None, :, None]
-            == jnp.arange(TX)[None, None, None, :]
-        ).astype(band.dtype)
-        vol = jnp.einsum("eqbx,eqax->eqab", sel, band).reshape(E, P, P, D, D)
-        vol = vol * ok.reshape(E, P, P)[..., None, None].astype(vol.dtype)
-        fx = (x - x0.astype(jnp.float32))[..., None, None]
-        fy = (y - y0.astype(jnp.float32))[..., None, None]
-        d = 2 * R + 1
-        out = (
-            (1 - fy) * (1 - fx) * vol[..., :d, :d]
-            + (1 - fy) * fx * vol[..., :d, 1:]
-            + fy * (1 - fx) * vol[..., 1:, :d]
-            + fy * fx * vol[..., 1:, 1:]
-        )
-        out = jnp.swapaxes(out[..., None], -2, -3)[..., 0]
-        return out.reshape(E, P, P, d * d)
-
-    return finish(band1, prep1), finish(band2, prep2)
-
-
 def _kernel_lat(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref,
                 out1_ref, out2_ref, scratch1, scratch2, tile_scratch,
                 dmt_scratch, last_slot, sem1, sem2, *, C, PP, D, M, NI):
     """Edge-lattice variant of _kernel2: one grid step = one lattice cell
     (96 edges sharing host i and target j). The edge lattice makes the
-    sort/scatter/unsort machinery of corr_pallas2 unnecessary — blocks of
+    sort/scatter/unsort machinery of per-edge kernels unnecessary — blocks of
     same-slot edges exist BY CONSTRUCTION, the patch features arrive as a
     contiguous gmap ring row via the BlockSpec (no XLA gather), and invalid
     cells are skipped entirely (predicated grid steps).
@@ -534,348 +125,11 @@ def _kernel_lat(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref,
         jax.lax.fori_loop(0, M // GANG, edge_gang, 0)
 
 
-def _kernel_lat_paired(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref,
-                       w0_ref, w1_ref, out_ref,
-                       scratch1, scratch2, tile_scratch, dmt_scratch,
-                       roll_scr0, roll_scr1, last_slot, sem1, sem2,
-                       *, C, PP, D, M, NI):
-    """_kernel_lat with the bilinear blend and window compaction done
-    IN-KERNEL: the kernel emits the update net's corr input directly.
-
-    Per window: the same single alignment roll as _kernel_lat, stored to a
-    per-level [G*PP, D*TX] scratch. Per gang (NOT per window — scalar SMEM
-    weight loads and per-window rolls measured 4x slower than the whole
-    kernel): two uniform lane-rolls blend the whole scratch with bilinear
-    weights broadcast from a [G*PP, 8] VMEM block (x-weights carry the
-    out-of-tile mask), then one constant 0/1 matmul [G*PP, D*TX] x
-    [D*TX, 64] compacts each blended 8x8 window into 64 contiguous lanes,
-    and the two pyramid levels pair into 128-lane rows —
-    out[e, q, l*64 + y*8 + x] = blend_l[e, q, y, x] (y, x < 2R+1 real;
-    row/col 7 garbage, killed by zero rows of the folded corr_fc1 kernel,
-    ops.corr_pallas.paired_corr_perm).
-
-    This removes the [E, PP, D, TX] band materialization + the XLA band
-    read/blend finish (~8 ms/update at production size) entirely
-    (ref semantics: altcorr/correlation_kernel.cu:221-232)."""
-    b = pl.program_id(0)
-    valid = tabs[b, 4] < NI
-    slot = tabs[b, 2]
-
-    @pl.when(b == 0)
-    def _init():
-        last_slot[0] = -1
-
-    @pl.when(valid & (slot != last_slot[0]))
-    def _load():
-        cp1 = pltpu.make_async_copy(fmap1_hbm.at[slot], scratch1, sem1)
-        cp2 = pltpu.make_async_copy(fmap2_hbm.at[slot], scratch2, sem2)
-        cp1.start()
-        cp2.start()
-        cp1.wait()
-        cp2.wait()
-        last_slot[0] = slot
-
-    @pl.when(valid)
-    def _compute():
-        # constant compaction matrix: lane r*TX+c -> lane y*8+x (r==y, c==x)
-        rowid = jax.lax.broadcasted_iota(jnp.int32, (D * TX, 64), 0)
-        outid = jax.lax.broadcasted_iota(jnp.int32, (D * TX, 64), 1)
-        S = (
-            (rowid // TX == outid // 8) & (rowid % TX == outid % 8)
-        ).astype(jnp.bfloat16)
-
-        def edge_gang(i, carry):
-            for u in range(GANG):
-                e = i * GANG + u
-                for lvl, scratch in ((0, scratch1), (1, scratch2)):
-                    tile = scratch[
-                        pl.ds(scal_ref[0, 0, e, 2 * lvl], TY),
-                        pl.ds(
-                            pl.multiple_of(scal_ref[0, 0, e, 2 * lvl + 1], 8),
-                            TX,
-                        ),
-                        :,
-                    ]
-                    row = (u * 2 + lvl) * TY * TX
-                    tile_scratch[pl.ds(row, TY * TX), :] = tile.reshape(
-                        TY * TX, C
-                    )
-
-            g_gang = g_ref[0, pl.ds(i * GANG * PP, GANG * PP), :]
-            dmt = jax.lax.dot_general(
-                g_gang, tile_scratch[...],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [GANG*PP, GANG*2*TY*TX]
-            dmt_scratch[...] = dmt
-
-            for u in range(GANG):
-                e = i * GANG + u
-                for lvl, rs in ((0, roll_scr0), (1, roll_scr1)):
-                    base = (u * 2 + lvl) * TY * TX
-                    for q in range(PP):
-                        row = dmt_scratch[
-                            pl.ds(u * PP + q, 1), pl.ds(base, TY * TX)
-                        ]
-                        off = scal_ref[0, 0, e, 4 + lvl * PP + q]
-                        win = pltpu.roll(row, -off, 1)
-                        rs[pl.ds(u * PP + q, 1), :] = win[:, : D * TX]
-
-            def blend(rs, w_ref):
-                w = w_ref[0, 0, i]                   # [GANG*PP, 8] f32
-                A = rs[...]                          # [GANG*PP, D*TX] f32
-                ux = w[:, 0:1] * A + w[:, 1:2] * pltpu.roll(
-                    A, D * TX - 1, 1
-                )
-                vy = w[:, 2:3] * ux + w[:, 3:4] * pltpu.roll(
-                    ux, D * TX - TX, 1
-                )
-                return jax.lax.dot_general(
-                    vy.astype(jnp.bfloat16), S,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [GANG*PP, 64]
-
-            pair = jnp.concatenate(
-                [blend(roll_scr0, w0_ref), blend(roll_scr1, w1_ref)], axis=1
-            )  # [GANG*PP, 128]
-            out_ref[0, 0, pl.ds(i * GANG, GANG)] = pair.astype(
-                out_ref.dtype
-            ).reshape(GANG, PP, 128)
-            return carry
-
-        jax.lax.fori_loop(0, M // GANG, edge_gang, 0)
-
-
-def _kernel_lat_compact(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref, out_ref,
-                        scratch1, scratch2, tile_scratch, dmt_scratch,
-                        roll_scr0, roll_scr1, last_slot, sem1, sem2,
-                        *, C, PP, D, M, NI):
-    """_kernel_lat with IN-KERNEL WINDOW COMPACTION only (no blend): after
-    the per-window alignment roll (unchanged), one constant 0/1 matmul
-    [G*PP, D*TX] x [D*TX, 64] per level packs each 8x8 window into 64
-    contiguous lanes and the two pyramid levels pair into 128-lane rows:
-    out[e, q, l*64 + y*8 + x] = dot-map window value. No extra input blocks
-    and no extra rolls versus _kernel_lat (the blended variant lost to both,
-    see STATUS round-3 dead ends); the output shrinks 3x (D*TX=192 -> 64
-    lanes/window) and the XLA finish becomes lane-shift blends on a
-    128-lane-aligned layout instead of the [E, PP, D, TX] band pass."""
-    b = pl.program_id(0)
-    valid = tabs[b, 4] < NI
-    slot = tabs[b, 2]
-
-    @pl.when(b == 0)
-    def _init():
-        last_slot[0] = -1
-
-    @pl.when(valid & (slot != last_slot[0]))
-    def _load():
-        cp1 = pltpu.make_async_copy(fmap1_hbm.at[slot], scratch1, sem1)
-        cp2 = pltpu.make_async_copy(fmap2_hbm.at[slot], scratch2, sem2)
-        cp1.start()
-        cp2.start()
-        cp1.wait()
-        cp2.wait()
-        last_slot[0] = slot
-
-    @pl.when(valid)
-    def _compute():
-        # constant compaction matrix: lane r*TX+c -> lane r*8+c (r, c < 8)
-        rowid = jax.lax.broadcasted_iota(jnp.int32, (D * TX, 64), 0)
-        outid = jax.lax.broadcasted_iota(jnp.int32, (D * TX, 64), 1)
-        S = (
-            (rowid // TX == outid // 8) & (rowid % TX == outid % 8)
-        ).astype(jnp.bfloat16)
-
-        def edge_gang(i, carry):
-            for u in range(GANG):
-                e = i * GANG + u
-                for lvl, scratch in ((0, scratch1), (1, scratch2)):
-                    tile = scratch[
-                        pl.ds(scal_ref[0, 0, e, 2 * lvl], TY),
-                        pl.ds(
-                            pl.multiple_of(scal_ref[0, 0, e, 2 * lvl + 1], 8),
-                            TX,
-                        ),
-                        :,
-                    ]
-                    row = (u * 2 + lvl) * TY * TX
-                    tile_scratch[pl.ds(row, TY * TX), :] = tile.reshape(
-                        TY * TX, C
-                    )
-
-            g_gang = g_ref[0, pl.ds(i * GANG * PP, GANG * PP), :]
-            dmt = jax.lax.dot_general(
-                g_gang, tile_scratch[...],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [GANG*PP, GANG*2*TY*TX]
-            dmt_scratch[...] = dmt
-
-            for u in range(GANG):
-                e = i * GANG + u
-                for lvl, rs in ((0, roll_scr0), (1, roll_scr1)):
-                    base = (u * 2 + lvl) * TY * TX
-                    for q in range(PP):
-                        row = dmt_scratch[
-                            pl.ds(u * PP + q, 1), pl.ds(base, TY * TX)
-                        ]
-                        off = scal_ref[0, 0, e, 4 + lvl * PP + q]
-                        win = pltpu.roll(row, -off, 1)
-                        rs[pl.ds(u * PP + q, 1), :] = win[
-                            :, : D * TX
-                        ].astype(rs.dtype)
-
-            def compact(rs):
-                return jax.lax.dot_general(
-                    rs[...], S,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [GANG*PP, 64]
-
-            pair = jnp.concatenate(
-                [compact(roll_scr0), compact(roll_scr1)], axis=1
-            )  # [GANG*PP, 128]
-            out_ref[0, 0, pl.ds(i * GANG, GANG)] = pair.astype(
-                out_ref.dtype
-            ).reshape(GANG, PP, 128)
-            return carry
-
-        jax.lax.fori_loop(0, M // GANG, edge_gang, 0)
-
-
-def _kernel_lat_fused(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref, out_ref,
-                      scratch1, scratch2, tile_scratch, dmt_scratch,
-                      rs0, rs1, vi0, vi1, last_slot, sem1, sem2,
-                      *, C, PP, D, M, NI):
-    """_kernel_lat_compact with BINARY-ROLL window alignment and the
-    bilinear blend IN-KERNEL.
-
-    Two structural changes vs _kernel_lat_compact:
-
-      * the 2*GANG*PP per-window rolls become per-level BINARY ROLL passes:
-        the window offsets ride a [GANG*PP, 1] int COLUMN scratch (filled
-        by GANG*PP 4-byte scalar stores from SMEM, lane-broadcast by the
-        select) and 8 static roll+select passes align ALL windows at once —
-        O(8) big VPU ops instead of O(GANG*PP) tiny slice/roll/store
-        chains; the dot-map staging round-trip runs in bf16;
-      * fx/fy/ok pack into the SAME per-window SMEM scalar
-        (off | fx10<<8 | fy10<<18 | ok<<28) so the blend runs in-kernel as
-        three lane rolls on the compacted [GANG*PP, 64] block — NO extra
-        input blocks (extra per-step block DMAs are what sank the
-        corr_lattice_paired blend variant, STATUS round-3).
-
-    Output is FINAL blended data in the paired 128-lane layout:
-    out[e, q, l*64 + y*8 + x] = blend_l[e, q, y, x] (y, x < 2R+1; garbage
-    lanes zeroed). Invalid cells' rows remain uninitialized — the caller
-    masks them with `where(vmask)`."""
-    b = pl.program_id(0)
-    valid = tabs[b, 4] < NI
-    slot = tabs[b, 2]
-
-    @pl.when(b == 0)
-    def _init():
-        last_slot[0] = -1
-
-    @pl.when(valid & (slot != last_slot[0]))
-    def _load():
-        cp1 = pltpu.make_async_copy(fmap1_hbm.at[slot], scratch1, sem1)
-        cp2 = pltpu.make_async_copy(fmap2_hbm.at[slot], scratch2, sem2)
-        cp1.start()
-        cp2.start()
-        cp1.wait()
-        cp2.wait()
-        last_slot[0] = slot
-
-    @pl.when(valid)
-    def _compute():
-        # constant compaction matrix: band lane r*TX+c -> lane r*8+c
-        rowid = jax.lax.broadcasted_iota(jnp.int32, (D * TX, 64), 0)
-        outid = jax.lax.broadcasted_iota(jnp.int32, (D * TX, 64), 1)
-        S = (
-            (rowid // TX == outid // 8) & (rowid % TX == outid % 8)
-        ).astype(jnp.float32)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (GANG * PP, 64), 1)
-        good = ((lane // 8) < D - 1) & ((lane % 8) < D - 1)
-
-        def edge_gang(i, carry):
-            for u in range(GANG):
-                e = i * GANG + u
-                for lvl, scratch in ((0, scratch1), (1, scratch2)):
-                    tile = scratch[
-                        pl.ds(scal_ref[0, 0, e, 2 * lvl], TY),
-                        pl.ds(
-                            pl.multiple_of(scal_ref[0, 0, e, 2 * lvl + 1], 8),
-                            TX,
-                        ),
-                        :,
-                    ]
-                    row = (u * 2 + lvl) * TY * TX
-                    tile_scratch[pl.ds(row, TY * TX), :] = tile.reshape(
-                        TY * TX, C
-                    )
-
-            g_gang = g_ref[0, pl.ds(i * GANG * PP, GANG * PP), :]
-            dmt = jax.lax.dot_general(
-                g_gang, tile_scratch[...],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [GANG*PP, GANG*2*TY*TX]
-            dmt_scratch[...] = dmt.astype(dmt_scratch.dtype)
-
-            for u in range(GANG):
-                e = i * GANG + u
-                for lvl, rs, vi in ((0, rs0, vi0), (1, rs1, vi1)):
-                    base = (u * 2 + lvl) * TY * TX
-                    rs[pl.ds(u * PP, PP), :] = dmt_scratch[
-                        pl.ds(u * PP, PP), pl.ds(base, TY * TX)
-                    ].astype(rs.dtype)
-                    for q in range(PP):
-                        v = scal_ref[0, 0, e, 4 + lvl * PP + q]
-                        vi[pl.ds(u * PP + q, 1), :] = jnp.full(
-                            (1, 1), v, jnp.int32
-                        )
-
-            outs = []
-            for rs, vi in ((rs0, vi0), (rs1, vi1)):
-                r_ = rs[...]
-                v_ = vi[...]                 # [GANG*PP, 1] lane-broadcast
-                off = v_ & 255
-                for bit in range(8):
-                    # left-roll by 2^bit == right-roll by size - 2^bit
-                    rolled = pltpu.roll(r_, TY * TX - (1 << bit), 1)
-                    r_ = jnp.where(((off >> bit) & 1) == 1, rolled, r_)
-                c = jax.lax.dot_general(
-                    r_[:, : D * TX], S.astype(r_.dtype),
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [GANG*PP, 64]
-                fx = ((v_ >> 8) & 1023).astype(jnp.float32) * (1.0 / 1024.0)
-                fy = ((v_ >> 18) & 1023).astype(jnp.float32) * (1.0 / 1024.0)
-                okm = ((v_ >> 28) & 1).astype(jnp.float32)
-                out_l = okm * (
-                    (1 - fy) * (1 - fx) * c
-                    + (1 - fy) * fx * pltpu.roll(c, 63, 1)
-                    + fy * (1 - fx) * pltpu.roll(c, 56, 1)
-                    + fy * fx * pltpu.roll(c, 55, 1)
-                )
-                outs.append(jnp.where(good, out_l, 0.0))
-
-            pair = jnp.concatenate(outs, axis=1)  # [GANG*PP, 128]
-            out_ref[0, 0, pl.ds(i * GANG, GANG)] = pair.astype(
-                out_ref.dtype
-            ).reshape(GANG, PP, 128)
-            return carry
-
-        jax.lax.fori_loop(0, M // GANG, edge_gang, 0)
-
-
 def _kernel_lat_fused2(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref, vcol_ref,
                        consts_ref, out_ref, scratch1, scratch2, rs0, rs1,
                        last_slot, sem1, sem2, *, C, PP, D, M, NI, ablate=(),
-                       pin_inputs=False, rs2d=False, vreg=False,
-                       bf16s=False, vcat=False):
-    """_kernel_lat_fused without the staging round-trips.
+                       pin_inputs=False):
+    """The production lattice correlation kernel (no staging round-trips).
 
     The fused kernel's cost is NOT the MXU work (~0.5 ms of dots at bench
     shapes) — it is the per-gang VMEM traffic: 16 tile copies into
@@ -893,7 +147,7 @@ def _kernel_lat_fused2(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref, vcol_ref,
         column [M*PP, 2] (one 7 kB DMA per cell) instead of 144 tiny
         SMEM->VMEM stores per gang.
 
-    Same contract as _kernel_lat_fused (paired 128-lane blended output).
+    Output contract: paired 128-lane blended windows per edge.
     Ref semantics: altcorr/correlation_kernel.cu:83-136,221-232.
 
     `ablate` (static, TIMING ONLY — output is garbage): drop kernel phases
@@ -931,77 +185,11 @@ def _kernel_lat_fused2(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref, vcol_ref,
         S = consts_ref[: D * TX, :]                       # [D*TX, 64] f32
         good = consts_ref[D * TX: D * TX + GANG * PP, :]  # [GANG*PP, 64]
 
-        if vreg:
-            # per-EDGE pipeline fully in VREGs: the [GANG*PP, TY*TX] roll
-            # scratch round-trip (2x 110 KB write + readback per gang-
-            # level) measured ~15 ms/call at bench shapes — the true
-            # "fixed cost" of the gang formulation. Rolls/extraction run
-            # on [PP, TY*TX] (9 sublanes pad to 16 -> ~1.8x VPU waste on
-            # the rolls) but never touch VMEM.
-            good_e = good[:PP, :]
-
-            def edge_gang_v(i, carry):
-                gi = tabs[b, 3] if pin_inputs else 0
-                g_gang = g_ref[gi, pl.ds(i * GANG * PP, GANG * PP), :]
-                vg = vcol_ref[0, 0, pl.ds(i * GANG * PP, GANG * PP), :]
-                for u in range(GANG):
-                    e = i * GANG + u
-                    g_u = g_gang[u * PP:(u + 1) * PP, :]    # [PP, C]
-                    v2 = vg[u * PP:(u + 1) * PP, :]         # [PP, 2]
-                    outs_e = []
-                    for lvl, scratch in ((0, scratch1), (1, scratch2)):
-                        tile = scratch[
-                            pl.ds(scal_ref[0, 0, e, 2 * lvl], TY),
-                            pl.ds(
-                                pl.multiple_of(
-                                    scal_ref[0, 0, e, 2 * lvl + 1], 8
-                                ),
-                                TX,
-                            ),
-                            :,
-                        ]
-                        r_ = jax.lax.dot_general(
-                            g_u, tile.reshape(TY * TX, C),
-                            dimension_numbers=(((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )                                   # [PP, TY*TX]
-                        v_ = v2[:, lvl:lvl + 1]             # [PP, 1]
-                        off = v_ & 255
-                        for bit in range(8):
-                            rolled = pltpu.roll(
-                                r_, TY * TX - (1 << bit), 1)
-                            r_ = jnp.where(
-                                ((off >> bit) & 1) == 1, rolled, r_)
-                        c = jax.lax.dot_general(
-                            r_[:, : D * TX], S,
-                            dimension_numbers=(((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )                                   # [PP, 64]
-                        fx = ((v_ >> 8) & 1023).astype(
-                            jnp.float32) * (1.0 / 1024.0)
-                        fy = ((v_ >> 18) & 1023).astype(
-                            jnp.float32) * (1.0 / 1024.0)
-                        okm = ((v_ >> 28) & 1).astype(jnp.float32)
-                        out_l = okm * (
-                            (1 - fy) * (1 - fx) * c
-                            + (1 - fy) * fx * pltpu.roll(c, 63, 1)
-                            + fy * (1 - fx) * pltpu.roll(c, 56, 1)
-                            + fy * fx * pltpu.roll(c, 55, 1)
-                        )
-                        outs_e.append(out_l * good_e)
-                    pair_e = jnp.concatenate(outs_e, axis=1)  # [PP, 128]
-                    out_ref[0, 0, e] = pair_e.astype(out_ref.dtype)
-                return carry
-
-            jax.lax.fori_loop(0, M // GANG, edge_gang_v, 0)
-            return
-
         def edge_gang(i, carry):
             # one aligned [GANG*PP, C] load; per-edge rows sliced STATICALLY
             # (dynamic 9-row loads are not 8-aligned and fail Mosaic layout)
             gi = tabs[b, 3] if pin_inputs else 0
             g_gang = g_ref[gi, pl.ds(i * GANG * PP, GANG * PP), :]
-            dms = ([], [])  # vcat: per-edge dot results stay in VREGs
             for u in range(GANG):
                 e = i * GANG + u
                 g_u = g_gang[u * PP:(u + 1) * PP, :]        # [PP, C]
@@ -1009,13 +197,9 @@ def _kernel_lat_fused2(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref, vcol_ref,
                     (0, rs0, scratch1), (1, rs1, scratch2)
                 ):
                     if "dots" in ablate:
-                        if "nors" in ablate or vcat:
+                        if "nors" in ablate:
                             continue
-                        if rs2d:
-                            rs[u * PP:(u + 1) * PP, :] = jnp.zeros(
-                                (PP, TY * TX), rs.dtype)
-                        else:
-                            rs[u] = jnp.zeros((PP, TY * TX), rs.dtype)
+                        rs[u] = jnp.zeros((PP, TY * TX), rs.dtype)
                         continue
                     tile = scratch[
                         pl.ds(scal_ref[0, 0, e, 2 * lvl], TY),
@@ -1032,34 +216,15 @@ def _kernel_lat_fused2(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref, vcol_ref,
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     ).astype(rs.dtype)
-                    if vcat:
-                        # never touch VMEM: gang-concatenate in VREGs
-                        # (sublane relayout) instead of rs store+readback
-                        dms[lvl].append(dm)
-                    elif rs2d:
-                        # flat [GANG*PP, TY*TX] scratch: STATIC (python-
-                        # int) unaligned sublane offsets; no 9->16 sublane
-                        # padding, no reshape relayout on readback
-                        rs[u * PP:(u + 1) * PP, :] = dm
-                    else:
-                        rs[u] = dm
+                    rs[u] = dm
 
             outs = []
             for lvl, rs in ((0, rs0), (1, rs1)):
                 if "nors" in ablate:  # timing: isolate the rs scratch
                     # round-trip (write+readback+reshape) within "fixed"
                     r_ = jnp.zeros((GANG * PP, TY * TX), jnp.float32)
-                elif vcat:
-                    r_ = jnp.concatenate(dms[lvl], axis=0)
                 else:
-                    r_ = rs[...] if rs2d else rs[...].reshape(
-                        GANG * PP, TY * TX)
-                if bf16s:
-                    # bf16 staging halves the scratch round-trip bytes;
-                    # convert BEFORE the rolls (Mosaic dynamic_rotate is
-                    # 32-bit-only — rolling bf16 directly was the r02
-                    # Mosaic regression)
-                    r_ = r_.astype(jnp.float32)
+                    r_ = rs[...].reshape(GANG * PP, TY * TX)
                 if "novcol" in ablate:  # timing: kill the minor-dim-2
                     # per-step vcol DMA (suspect: 864 strided descriptors
                     # into a 128-lane-padded window)
@@ -1097,10 +262,7 @@ def _kernel_lat_fused2(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref, vcol_ref,
 
             pair = jnp.concatenate(outs, axis=1)  # [GANG*PP, 128]
             if "nostore" in ablate:  # timing: VREG->VMEM store + relayout
-                if rs2d:
-                    rs0[:, :128] = pair
-                else:
-                    rs0[:, :, :128] = pair.reshape(GANG, PP, 128)
+                rs0[:, :, :128] = pair.reshape(GANG, PP, 128)
             else:
                 out_ref[0, 0, pl.ds(i * GANG, GANG)] = pair.astype(
                     out_ref.dtype
@@ -1179,7 +341,7 @@ def _finish_aligned(band, prep, E, P, R, D, vmask=None):
 
 def _cell_tables(NI, T, M, r, n, cell_valid, slotmap, MEM, L):
     """Per-grid-step tables for the lattice kernels (tiny; replaces the
-    60k sort machinery of corr_pallas2). tabs [NB, 5]: (in_row, t, slot_j,
+    per-update 60k sort a flat edge table would need). tabs [NB, 5]: (in_row, t, slot_j,
     gslot, out_row); out_row == NI marks an invalid cell (routed to the
     trash row by the out index_map)."""
     NTGT = NI + r - 2          # targets with any possibly-live cell
@@ -1355,7 +517,7 @@ def corr_lattice2(
 ):
     """Two-level correlation over the edge lattice (see vo/state.py).
 
-    Semantics identical to corr_pallas2 over the flat edge view, but the
+    Semantics identical to ops.corr over the flat edge view, but the
     lattice structure removes its per-update costs: no argsort/scatter of
     60k edges, no unsort gather of the output, no XLA gather of 138MB of
     patch features, and invalid cells cost ~nothing (skipped blocks).
@@ -1427,297 +589,6 @@ def corr_lattice2_stacked(
     return out.astype(b1.dtype)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("r", "radius", "interpret", "prepadded", "hw")
-)
-def corr_lattice_paired(
-    gmap_r: jnp.ndarray,    # [MEM, M, P, P, C] gmap ring
-    fmap1: jnp.ndarray,     # [MEM, H, W, C]   level-1 ring (pre-padded ok)
-    fmap2: jnp.ndarray,     # [MEM, H//4, W//4, C] level-2 ring
-    coords: jnp.ndarray,    # [NI, T, M, P, P, 2] lattice-ordered coords
-    cell_valid: jnp.ndarray,  # [NI, T] bool
-    n,                      # traced int32: live keyframe count
-    slotmap: jnp.ndarray,   # [L] int32 logical frame -> ring slot
-    r: int,                 # PATCH_LIFETIME (static)
-    radius: int = 3,
-    interpret: bool = False,
-    prepadded: bool = False,
-    hw=None,                # (H1, W1, H2, W2) when prepadded
-) -> jnp.ndarray:
-    """Lattice correlation with the bilinear blend + window compaction done
-    IN-KERNEL (_kernel_lat_paired): returns the update net's corr input
-    directly as [NI*T*M, PP*128] bf16 in the PAIRED layout
-    out[e, q*128 + l*64 + y*8 + x] = blend_l[e, q, y, x] (y, x < 2R+1 real,
-    row/col 7 garbage). Consumers fold the layout into corr_fc1 via
-    `paired_corr_perm`. Replaces corr_lattice2_stacked's band output + XLA
-    finish (~8 ms/update at production size) with a single where() pass."""
-    NI, T, M, P, _, _ = coords.shape
-    if prepadded:
-        MEM, C = fmap1.shape[0], fmap1.shape[3]
-        H1, W1, H2, W2 = hw
-    else:
-        MEM, H1, W1, C = fmap1.shape
-        _, H2, W2, _ = fmap2.shape
-    L = slotmap.shape[0]
-    R = radius
-    D = 2 * R + 2
-    PP = P * P
-    pad = 3 * D
-    E = NI * T * M
-    assert M % GANG == 0, "lattice kernel needs M % 8 == 0"
-    assert D == 8, "paired kernel packs 8x8 windows into 64 lanes"
-
-    tabs, NB = _cell_tables(NI, T, M, r, n, cell_valid, slotmap, MEM, L)
-    NG = M // GANG
-
-    cflat = coords.reshape(E, P, P, 2)
-    prep1 = _level_prep(cflat, H1, W1, P, R, D, pad)
-    prep2 = _level_prep(cflat / 4.0, H2, W2, P, R, D, pad)
-
-    def level_cols(prep):
-        x, y, x0, y0, ty, tx, oy, ox, ok = prep
-        off = (oy * TX + ox).reshape(E, PP)
-        # bilinear weights, gang-row layout [NI, T, NG, GANG*PP, 8]; the
-        # out-of-tile mask folds into the x-pair so clipped windows blend
-        # to exactly zero
-        fx = x - x0.astype(jnp.float32)
-        fy = y - y0.astype(jnp.float32)
-        okf = ok.astype(jnp.float32)
-        w = jnp.stack(
-            [okf * (1 - fx), okf * fx, 1 - fy, fy], axis=-1
-        ).reshape(NI, T, NG, GANG * PP, 4)
-        w = jnp.pad(w, ((0, 0),) * 4 + ((0, 4),))
-        return ty, tx, off, w
-
-    ty1, tx1, off1, w1 = level_cols(prep1)
-    ty2, tx2, off2, w2 = level_cols(prep2)
-    scal = jnp.concatenate(
-        [ty1[:, None], tx1[:, None], ty2[:, None], tx2[:, None],
-         off1, off2], axis=1,
-    ).astype(jnp.int32).reshape(NI, T, M, 4 + 2 * PP)
-
-    if prepadded:
-        fpad1, fpad2 = fmap1, fmap2
-    else:
-        fpad1 = _pad_ring(fmap1, pad)
-        fpad2 = _pad_ring(fmap2, pad)
-    Hp1, Wp1 = fpad1.shape[1], fpad1.shape[2]
-    Hp2, Wp2 = fpad2.shape[1], fpad2.shape[2]
-
-    gflat = gmap_r.reshape(MEM, M * PP, C)
-
-    out = pl.pallas_call(
-        functools.partial(_kernel_lat_paired, C=C, PP=PP, D=D, M=M, NI=NI),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(NB,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(
-                    (1, M * PP, C), lambda b, tb: (tb[b, 3], 0, 0)
-                ),
-                pl.BlockSpec(
-                    (1, 1, M, 4 + 2 * PP),
-                    lambda b, tb: (tb[b, 0], tb[b, 1], 0, 0),
-                    memory_space=pltpu.SMEM,
-                ),
-                pl.BlockSpec(
-                    (1, 1, NG, GANG * PP, 8),
-                    lambda b, tb: (tb[b, 0], tb[b, 1], 0, 0, 0),
-                ),
-                pl.BlockSpec(
-                    (1, 1, NG, GANG * PP, 8),
-                    lambda b, tb: (tb[b, 0], tb[b, 1], 0, 0, 0),
-                ),
-            ],
-            out_specs=pl.BlockSpec(
-                (1, 1, M, PP, 128),
-                lambda b, tb: (tb[b, 4], tb[b, 1], 0, 0, 0),
-            ),
-            scratch_shapes=[
-                pltpu.VMEM((Hp1, Wp1, C), fmap1.dtype),
-                pltpu.VMEM((Hp2, Wp2, C), fmap2.dtype),
-                pltpu.VMEM((GANG * 2 * TY * TX, C), fmap1.dtype),
-                pltpu.VMEM((GANG * PP, GANG * 2 * TY * TX), jnp.float32),
-                pltpu.VMEM((GANG * PP, D * TX), jnp.float32),
-                pltpu.VMEM((GANG * PP, D * TX), jnp.float32),
-                pltpu.SMEM((1,), jnp.int32),
-                pltpu.SemaphoreType.DMA,
-                pltpu.SemaphoreType.DMA,
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (NI + 1, T, M, PP, 128), jnp.bfloat16
-        ),
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        ),
-        interpret=interpret,
-    )(tabs, fpad1, fpad2, gflat, scal, w1, w2)
-
-    vmask = _cell_vmask(NI, T, M, r, n, cell_valid)
-    out = out[:NI].reshape(E, PP * 128)
-    return jnp.where(vmask[:, None], out, jnp.bfloat16(0.0))
-
-
-@functools.partial(
-    jax.jit, static_argnames=("r", "radius", "interpret", "prepadded", "hw")
-)
-def corr_lattice_compact(
-    gmap_r: jnp.ndarray,    # [MEM, M, P, P, C] gmap ring
-    fmap1: jnp.ndarray,     # [MEM, H, W, C]   level-1 ring (pre-padded ok)
-    fmap2: jnp.ndarray,     # [MEM, H//4, W//4, C] level-2 ring
-    coords: jnp.ndarray,    # [NI, T, M, P, P, 2] lattice-ordered coords
-    cell_valid: jnp.ndarray,  # [NI, T] bool
-    n,                      # traced int32: live keyframe count
-    slotmap: jnp.ndarray,   # [L] int32 logical frame -> ring slot
-    r: int,                 # PATCH_LIFETIME (static)
-    radius: int = 3,
-    interpret: bool = False,
-    prepadded: bool = False,
-    hw=None,                # (H1, W1, H2, W2) when prepadded
-) -> jnp.ndarray:
-    """Lattice correlation with in-kernel window COMPACTION
-    (_kernel_lat_compact) and the bilinear blend done outside as lane
-    shifts on the 128-lane paired layout. Returns the update net's corr
-    input [NI*T*M, PP*128] bf16 in the PAIRED layout (paired_corr_perm):
-    out[e, q*128 + l*64 + y*8 + x] = blend_l[e, q, y, x] for y, x < 2R+1,
-    garbage (zeroed) elsewhere."""
-    NI, T, M, P, _, _ = coords.shape
-    if prepadded:
-        MEM, C = fmap1.shape[0], fmap1.shape[3]
-        H1, W1, H2, W2 = hw
-    else:
-        MEM, H1, W1, C = fmap1.shape
-        _, H2, W2, _ = fmap2.shape
-    L = slotmap.shape[0]
-    R = radius
-    D = 2 * R + 2
-    PP = P * P
-    pad = 3 * D
-    E = NI * T * M
-    assert M % GANG == 0, "lattice kernel needs M % 8 == 0"
-    assert D == 8, "compact kernel packs 8x8 windows into 64 lanes"
-
-    tabs, NB = _cell_tables(NI, T, M, r, n, cell_valid, slotmap, MEM, L)
-
-    cflat = coords.reshape(E, P, P, 2)
-    prep1 = _level_prep(cflat, H1, W1, P, R, D, pad)
-    prep2 = _level_prep(cflat / 4.0, H2, W2, P, R, D, pad)
-
-    def level_cols(prep):
-        _, _, _, _, ty, tx, oy, ox, _ = prep
-        return ty, tx, (oy * TX + ox).reshape(E, PP)
-
-    ty1, tx1, off1 = level_cols(prep1)
-    ty2, tx2, off2 = level_cols(prep2)
-    scal = jnp.concatenate(
-        [ty1[:, None], tx1[:, None], ty2[:, None], tx2[:, None],
-         off1, off2], axis=1,
-    ).astype(jnp.int32).reshape(NI, T, M, 4 + 2 * PP)
-
-    if prepadded:
-        fpad1, fpad2 = fmap1, fmap2
-    else:
-        fpad1 = _pad_ring(fmap1, pad)
-        fpad2 = _pad_ring(fmap2, pad)
-    Hp1, Wp1 = fpad1.shape[1], fpad1.shape[2]
-    Hp2, Wp2 = fpad2.shape[1], fpad2.shape[2]
-
-    gflat = gmap_r.reshape(MEM, M * PP, C)
-
-    # see the corr_lattice_fused2 barrier note (operand-copy fusion tax)
-    tabs, scal = jax.lax.optimization_barrier((tabs, scal))
-
-    out = pl.pallas_call(
-        functools.partial(_kernel_lat_compact, C=C, PP=PP, D=D, M=M, NI=NI),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(NB,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(
-                    (1, M * PP, C), lambda b, tb: (tb[b, 3], 0, 0)
-                ),
-                pl.BlockSpec(
-                    (1, 1, M, 4 + 2 * PP),
-                    lambda b, tb: (tb[b, 0], tb[b, 1], 0, 0),
-                    memory_space=pltpu.SMEM,
-                ),
-            ],
-            out_specs=pl.BlockSpec(
-                (1, 1, M, PP, 128),
-                lambda b, tb: (tb[b, 4], tb[b, 1], 0, 0, 0),
-            ),
-            scratch_shapes=[
-                pltpu.VMEM((Hp1, Wp1, C), fmap1.dtype),
-                pltpu.VMEM((Hp2, Wp2, C), fmap2.dtype),
-                pltpu.VMEM((GANG * 2 * TY * TX, C), fmap1.dtype),
-                pltpu.VMEM((GANG * PP, GANG * 2 * TY * TX), jnp.float32),
-                pltpu.VMEM((GANG * PP, D * TX), jnp.bfloat16),
-                pltpu.VMEM((GANG * PP, D * TX), jnp.bfloat16),
-                pltpu.SMEM((1,), jnp.int32),
-                pltpu.SemaphoreType.DMA,
-                pltpu.SemaphoreType.DMA,
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (NI + 1, T, M, PP, 128), jnp.bfloat16
-        ),
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        ),
-        interpret=interpret,
-    )(tabs, fpad1, fpad2, gflat, scal)
-
-    vmask = _cell_vmask(NI, T, M, r, n, cell_valid)
-
-    # ---- blend as lane shifts on the compacted 8x8 layout ----
-    # uninitialized rows (cells the grid never wrote) must die via `where`
-    # BEFORE arithmetic: 0 * garbage can be NaN
-    A = jnp.where(
-        vmask[:, None, None, None],
-        out[:NI].reshape(E, PP, 2, 64).astype(jnp.float32),
-        0.0,
-    )
-
-    def shifted(dy, dx):
-        s = dy * 8 + dx
-        if s == 0:
-            return A
-        return jnp.pad(A[..., s:], ((0, 0),) * 3 + ((0, s),))
-
-    def wts(prep):
-        x, y, x0, y0, _, _, _, _, ok = prep
-        fx = (x - x0.astype(jnp.float32)).reshape(E, PP)
-        fy = (y - y0.astype(jnp.float32)).reshape(E, PP)
-        okf = (
-            ok.reshape(E, PP) & vmask[:, None]
-        ).astype(jnp.float32)
-        return fx, fy, okf
-
-    fx1, fy1, ok1 = wts(prep1)
-    fx2, fy2, ok2 = wts(prep2)
-    fx = jnp.stack([fx1, fx2], axis=-1)[..., None]   # [E, PP, 2, 1]
-    fy = jnp.stack([fy1, fy2], axis=-1)[..., None]
-    okf = jnp.stack([ok1, ok2], axis=-1)[..., None]
-
-    blend = okf * (
-        (1 - fy) * (1 - fx) * A
-        + (1 - fy) * fx * shifted(0, 1)
-        + fy * (1 - fx) * shifted(1, 0)
-        + fy * fx * shifted(1, 1)
-    )
-    # zero the garbage row/col (y == 7 or x == 7) so downstream consumers
-    # see clean data even without the fc1 zero-row fold
-    lane = jnp.arange(64)
-    good = ((lane // 8) < 2 * R + 1) & ((lane % 8) < 2 * R + 1)
-    blend = jnp.where(good, blend, 0.0)
-    return blend.reshape(E, PP * 128).astype(jnp.bfloat16)
-
-
 def _pack_window_scalars(prep, E, PP):
     """Per-window packed scalar for the fused kernel: tile offset (8b) |
     fx (10b fixed-point) | fy (10b) | in-tile ok (1b)."""
@@ -1776,142 +647,19 @@ def _prep_pack_planar(u, v, uc, vc, H, W, R, D, pad):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("r", "radius", "interpret", "prepadded", "hw")
-)
-def corr_lattice_fused(
-    gmap_r: jnp.ndarray,    # [MEM, M, P, P, C] gmap ring
-    fmap1: jnp.ndarray,     # [MEM, H, W, C]   level-1 ring (pre-padded ok)
-    fmap2: jnp.ndarray,     # [MEM, H//4, W//4, C] level-2 ring
-    coords: jnp.ndarray,    # [NI, T, M, P, P, 2] lattice-ordered coords
-    cell_valid: jnp.ndarray,  # [NI, T] bool
-    n,                      # traced int32: live keyframe count
-    slotmap: jnp.ndarray,   # [L] int32 logical frame -> ring slot
-    r: int,                 # PATCH_LIFETIME (static)
-    radius: int = 3,
-    interpret: bool = False,
-    prepadded: bool = False,
-    hw=None,                # (H1, W1, H2, W2) when prepadded
-) -> jnp.ndarray:
-    """Lattice correlation, FULLY in-kernel (_kernel_lat_fused): binary-roll
-    window alignment, compaction, AND the bilinear blend. Returns the
-    update net's corr input [NI*T*M, PP*128] bf16 in the PAIRED layout
-    (paired_corr_perm) — same contract as corr_lattice_compact; the only
-    XLA work left outside is the invalid-cell mask."""
-    NI, T, M, P, _, _ = coords.shape
-    if prepadded:
-        MEM, C = fmap1.shape[0], fmap1.shape[3]
-        H1, W1, H2, W2 = hw
-    else:
-        MEM, H1, W1, C = fmap1.shape
-        _, H2, W2, _ = fmap2.shape
-    L = slotmap.shape[0]
-    R = radius
-    D = 2 * R + 2
-    PP = P * P
-    pad = 3 * D
-    E = NI * T * M
-    assert M % GANG == 0, "lattice kernel needs M % 8 == 0"
-    assert D == 8, "fused kernel packs 8x8 windows into 64 lanes"
-
-    tabs, NB = _cell_tables(NI, T, M, r, n, cell_valid, slotmap, MEM, L)
-
-    cflat = coords.reshape(E, P, P, 2)
-    prep1 = _level_prep(cflat, H1, W1, P, R, D, pad)
-    prep2 = _level_prep(cflat / 4.0, H2, W2, P, R, D, pad)
-
-    ty1, tx1, v1 = _pack_window_scalars(prep1, E, PP)
-    ty2, tx2, v2 = _pack_window_scalars(prep2, E, PP)
-    scal = jnp.concatenate(
-        [ty1[:, None], tx1[:, None], ty2[:, None], tx2[:, None],
-         v1, v2], axis=1,
-    ).astype(jnp.int32).reshape(NI, T, M, 4 + 2 * PP)
-
-    if prepadded:
-        fpad1, fpad2 = fmap1, fmap2
-    else:
-        fpad1 = _pad_ring(fmap1, pad)
-        fpad2 = _pad_ring(fmap2, pad)
-    Hp1, Wp1 = fpad1.shape[1], fpad1.shape[2]
-    Hp2, Wp2 = fpad2.shape[1], fpad2.shape[2]
-
-    gflat = gmap_r.reshape(MEM, M * PP, C)
-
-    # keep XLA from fusing the scalar-table producers into the custom
-    # call's operand copies (catastrophic small-minor-dim tiling; see the
-    # corr_lattice_fused2 barrier note)
-    tabs, scal = jax.lax.optimization_barrier((tabs, scal))
-
-    out = pl.pallas_call(
-        functools.partial(_kernel_lat_fused, C=C, PP=PP, D=D, M=M, NI=NI),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(NB,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(
-                    (1, M * PP, C), lambda b, tb: (tb[b, 3], 0, 0)
-                ),
-                pl.BlockSpec(
-                    (1, 1, M, 4 + 2 * PP),
-                    lambda b, tb: (tb[b, 0], tb[b, 1], 0, 0),
-                    memory_space=pltpu.SMEM,
-                ),
-            ],
-            out_specs=pl.BlockSpec(
-                (1, 1, M, PP, 128),
-                lambda b, tb: (tb[b, 4], tb[b, 1], 0, 0, 0),
-            ),
-            scratch_shapes=[
-                pltpu.VMEM((Hp1, Wp1, C), fmap1.dtype),
-                pltpu.VMEM((Hp2, Wp2, C), fmap2.dtype),
-                pltpu.VMEM((GANG * 2 * TY * TX, C), fmap1.dtype),
-                # bf16 staging: the dot-map round-trip is the kernel's
-                # largest VMEM traffic; corr values tolerate bf16 (the
-                # update net consumes them in bf16 anyway). The roll
-                # scratches rs0/rs1 MUST stay f32: Mosaic's dynamic_rotate
-                # only supports 32-bit lanes ("Rotate with non-32-bit
-                # data", BENCH_r02 regression).
-                pltpu.VMEM((GANG * PP, GANG * 2 * TY * TX), jnp.bfloat16),
-                pltpu.VMEM((GANG * PP, TY * TX), jnp.float32),
-                pltpu.VMEM((GANG * PP, TY * TX), jnp.float32),
-                # per-window packed scalars as 1-lane columns
-                pltpu.VMEM((GANG * PP, 1), jnp.int32),
-                pltpu.VMEM((GANG * PP, 1), jnp.int32),
-                pltpu.SMEM((1,), jnp.int32),
-                pltpu.SemaphoreType.DMA,
-                pltpu.SemaphoreType.DMA,
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (NI + 1, T, M, PP, 128), jnp.bfloat16
-        ),
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        ),
-        interpret=interpret,
-    )(tabs, fpad1, fpad2, gflat, scal)
-
-    vmask = _cell_vmask(NI, T, M, r, n, cell_valid)
-    return jnp.where(
-        vmask[:, None], out[:NI].reshape(E, PP * 128), jnp.bfloat16(0.0)
-    )
-
-
-@functools.partial(
     jax.jit,
     static_argnames=("r", "radius", "interpret", "prepadded", "hw", "ablate",
-                     "pin_inputs", "rs2d", "vreg", "bf16s", "vcat", "lat"),
+                     "pin_inputs", "lat"),
 )
 def corr_lattice_fused2(
     gmap_r, fmap1, fmap2, coords, cell_valid, n, slotmap,
     r: int, radius: int = 3, interpret: bool = False,
     prepadded: bool = False, hw=None, ablate=(), pin_inputs: bool = True,
-    rs2d: bool = False, vreg: bool = False, bf16s: bool = False,
-    vcat: bool = False, lat=None,
+    lat=None,
 ) -> jnp.ndarray:
-    """corr_lattice_fused via `_kernel_lat_fused2` (direct slice->MXU dots,
-    no staging round-trips, pipelined scalar columns). Same contract:
+    """The production lattice correlation (`_kernel_lat_fused2`): binary-roll
+    window alignment + 8x8 compaction + bilinear blend in-kernel, direct
+    slice->MXU dots, pipelined scalar columns. Output contract:
     [NI*T*M, PP*128] bf16 paired layout. `ablate`: timing-only phase drops
     (see _kernel_lat_fused2) — never set in production.
 
@@ -2057,8 +805,7 @@ def corr_lattice_fused2(
 
     out = pl.pallas_call(
         functools.partial(_kernel_lat_fused2, C=C, PP=PP, D=D, M=M, NI=NI,
-                          ablate=tuple(ablate), pin_inputs=pin_inputs,
-                          rs2d=rs2d, vreg=vreg, bf16s=bf16s, vcat=vcat),
+                          ablate=tuple(ablate), pin_inputs=pin_inputs),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(NB // 2 if "halfgrid" in ablate else NB,),
@@ -2076,14 +823,10 @@ def corr_lattice_fused2(
             scratch_shapes=[
                 pltpu.VMEM((Hp1, Wp1, C), fmap1.dtype),
                 pltpu.VMEM((Hp2, Wp2, C), fmap2.dtype),
-                # f32 default: Mosaic rotate needs 32-bit lanes (bf16s
-                # stages bf16 and converts after readback, before rolls)
-                pltpu.VMEM(
-                    (GANG * PP, TY * TX) if rs2d else (GANG, PP, TY * TX),
-                    jnp.bfloat16 if bf16s else jnp.float32),
-                pltpu.VMEM(
-                    (GANG * PP, TY * TX) if rs2d else (GANG, PP, TY * TX),
-                    jnp.bfloat16 if bf16s else jnp.float32),
+                # f32: Mosaic dynamic rotate needs 32-bit lanes (bf16
+                # staging here was the r02 miscompile regression)
+                pltpu.VMEM((GANG, PP, TY * TX), jnp.float32),
+                pltpu.VMEM((GANG, PP, TY * TX), jnp.float32),
                 pltpu.SMEM((1,), jnp.int32),
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
@@ -2158,7 +901,7 @@ def _kernel_sched_fused(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref, out_ref,
                         scratch1, scratch2, tile_scratch, dmt_scratch,
                         rs0, rs1, vi0, vi1, last_slot, sem1, sem2,
                         *, C, PP, D, E_BLK):
-    """_kernel_lat_fused for a STATIC sorted edge schedule (training): one
+    """_kernel_lat_fused2's staged ancestor for a STATIC sorted edge schedule (training): one
     grid step = E_BLK same-target edges; no validity gating (pads replicate
     real edges and are dropped by the caller's inverse permutation)."""
     b = pl.program_id(0)
@@ -2661,7 +1404,7 @@ corr_train_fused.defvjp(_ctf_fwd, _ctf_bwd)
 
 @functools.lru_cache(maxsize=4)
 def paired_corr_perm(P: int = 3, R: int = 3):
-    """ref_col (or -1) for each PAIRED-layout column of corr_lattice_paired.
+    """ref_col (or -1) for each PAIRED-layout column (corr_lattice_fused2).
 
     Paired column q*128 + l*64 + y*8 + x holds blend_l[q, y, x] for
     y, x < 2R+1 (garbage otherwise); reference column

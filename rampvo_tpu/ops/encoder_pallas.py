@@ -5,7 +5,7 @@ Why: the flax path keeps every intermediate in NHWC with 5..32 channels.
 TPU HBM tiles the minor dimension to 128 lanes, so each [H, W, C<=32]
 pass reads/writes 4-25x more bytes than the tensor holds — the measured
 ~8 ms MultiScale encoder is mostly this lane-padding tax, not compute
-(STATUS round-2/3; the pure-XLA refactor `models/encoders_fused.py`
+(STATUS round-2/3; a pure-XLA single-step refactor (removed r04)
 measured SLOWER because it adds relayouts without changing the layout).
 
 This kernel runs the whole chain CHANNEL-MAJOR ([C, H*W]: minor dim = HW,
@@ -14,7 +14,7 @@ matmul on the zero-carry single step — the recurrent term vanishes
 exactly, ref extractor.py:366-385) and the two composed super-state folds
 (ref extractor.py:431-463), reading x [8, HW] + ss [h, HW] and writing
 ss' [h, HW]. Weight composition (conv_1 folding, gate interleave, fold
-composition) reuses `models/encoders_fused.py` math and is parity-tested
+composition) composes the flax weights algebraically and is parity-tested
 in tests/test_models.py.
 
 Semantics mirrored from the reference MultiScaleMergerDoubleNet
@@ -29,6 +29,18 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+SCALES = (1, 2, 4)
+
+
+def _conv(x, kernel, bias, stride=1, pad=0, groups=1):
+    """x [H, W, C] channels-last; kernel [kh, kw, Cin/groups, Cout]."""
+    y = jax.lax.conv_general_dilated(
+        x[None], kernel, (stride, stride), [(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    )[0]
+    return y + bias
 
 
 def _lstm_fold_kernel(x_ref, ss_ref, wg_ref, bg_ref, wf_ref, bf_ref, o_ref,
@@ -103,12 +115,12 @@ def lstm_fold_cm(x_cm, ss_cm, wg, bg, wf, bf, *, hwb: int = 512,
 
 
 # ---------------------------------------------------------------------------
-# weight composition (reuses models/encoders_fused.py math)
+# weight composition (algebraic refactor of the flax encoder math)
 # ---------------------------------------------------------------------------
 
 def _gate_weights(pe, pi):
     """Gate-interleaved block-diagonal LSTM input weights
-    (encoders_fused.py::_lstm_single_step without the convs)."""
+    (the single-step LSTM gate algebra without the convs)."""
     we = pe["convlstm"]["weight_ih"]          # [Ce, 4h]
     wi = pi["convlstm"]["weight_ih"]
     be = pe["convlstm"]["bias_ih"] + pe["convlstm"]["bias_hh"]
@@ -144,7 +156,7 @@ def gate_weights_scale1(pe, pi):
 
 
 def fold_weights(enc, si, m):
-    """Composed super-state fold weights (encoders_fused.py::_fused_fold):
+    """Composed super-state fold weights (one matmul per scale):
     Weff [3h, h] over rows [ss | ev_h | im_h], beff [h]; `m` traced bool."""
     We = enc[f"super_state_ev_encoder_{si}_kernel"][0, 0]   # [2h, h]
     be = enc[f"super_state_ev_encoder_{si}_bias"]
@@ -401,13 +413,13 @@ def pallas_multiscale_encode(enc_params, events, images, mask, state,
     for every scale's LSTM+fold chain; the two pyramid heads stay on the
     standard flax path (the grouped-conv head variant measured slower).
 
-    Same contract as models.encoders_fused.fused_multiscale_encode.
+    Heads replicate models.encoders.MultiScaleBasicEncoder4's conv heads
+    exactly (checkpoint-parity tested).
     `state["ss"]` entries may be NHWC [H, W, h] (standard) or
     channel-major [h, H*W] (as returned by this function with
     `cm_state=True`); the returned state matches the input form.
     """
     from ..models.encoders import MultiScaleBasicEncoder4
-    from ..models.encoders_fused import SCALES, _conv
 
     ev = events[0]
     im = images[0]

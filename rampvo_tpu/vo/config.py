@@ -35,21 +35,18 @@ class VOConfig:
     # Pallas interpret mode (CPU-runnable — test coverage of the TPU path)
     CORR_IMPL: str = "auto"
 
-    # lattice-path implementation toggles (A/B-able; defaults = fastest
-    # measured). CORR_LAYOUT: "fused2" (DEFAULT) = binary-roll alignment +
-    # compaction + blend in-kernel WITHOUT staging round-trips (direct
-    # slice->MXU dots, pipelined scalar columns — corr_lattice_fused2);
-    # "fused" = the staged variant (corr_lattice_fused). Both use only
-    # STATIC-amount rolls — the only construct that lowers correctly on
-    # real hardware. "paired"/"folded" (corr_lattice_compact /
-    # corr_lattice2_stacked) use per-window DYNAMIC-amount pltpu.roll,
-    # which SILENTLY MISCOMPILES on the TPU (r03 finding: interpret-mode
-    # green, 1.0 rel garbage on chip — scripts/check_layouts_onchip.py);
-    # they remain as CPU/interpret reference implementations only.
-    # False: the fused single-step encoder (models/encoders_fused.py)
-    # measured +3.0 ms SLOWER than the straight flax path in-frame
-    # (scripts/ab_frame_variants.py — grouped convs + gate matmul lose)
-    FUSED_ENCODER: bool = False
+    # lattice-path implementation toggles. CORR_LAYOUT: "fused2"
+    # (DEFAULT, the only hardware path) = binary-roll alignment +
+    # compaction + blend in-kernel, direct slice->MXU dots, pipelined
+    # scalar columns (corr_lattice_fused2) — STATIC-amount rolls only,
+    # the one roll construct that lowers correctly on real hardware.
+    # "folded" (corr_lattice2_stacked folded=True) uses per-window
+    # DYNAMIC-amount pltpu.roll, which SILENTLY MISCOMPILES on the TPU
+    # (r03 finding: interpret-mode green, 1.0 rel garbage on chip —
+    # scripts/check_layouts_onchip.py); it remains as the CPU/interpret
+    # reference implementation only. Measured dead-end layouts (fused,
+    # paired, compact, stacked generations) were removed in r04 — see
+    # STATUS.md's graveyard record.
     # channel-major Pallas kernel for the per-scale LSTM+fold chain
     # (ops/encoder_pallas.py) — removes the NHWC lane-padding tax on the
     # C<=32 intermediates; heads stay flax. Measured -0.9 ms/frame on chip

@@ -41,8 +41,6 @@ from ..ops.corr_pallas import (
     GANG,
     RING_PAD,
     corr_lattice2_stacked,
-    corr_lattice_compact,
-    corr_lattice_fused,
     corr_lattice_fused2,
     folded_corr_perm,
     paired_corr_perm,
@@ -337,21 +335,12 @@ def _edge_corr_ctx_lattice(cfg: VOConfig, state: VOState, ii, jj, kk):
         coords = _reproject_edges_lattice(cfg, state, ii, jj, kk)
     else:
         coords = _reproject_edges(cfg, state, ii, jj, kk)
-    if cfg.CORR_LAYOUT in ("fused", "fused2", "paired"):
-        # paired 128-lane layout: the kernel emits 8x8-compacted windows
-        # (one constant 0/1 MXU matmul in-kernel, 3x less output than the
-        # stacked band). "fused" does binary-roll window alignment AND the
-        # bilinear blend in-kernel; "paired" (corr_lattice_compact) blends
-        # outside as lane shifts. Window permute + level interleave fold
-        # into corr_fc1's kernel by update_fn (paired_corr_perm).
-        kfn = {
-            "fused": corr_lattice_fused,
-            "fused2": corr_lattice_fused2,
-            # "paired" (corr_lattice_compact) is CPU/interpret-only: its
-            # dynamic-amount rolls miscompile on real TPUs (config.py note)
-            "paired": corr_lattice_compact,
-        }[cfg.CORR_LAYOUT]
-        corr_in = kfn(
+    if cfg.CORR_LAYOUT == "fused2":
+        # paired 128-lane layout: the kernel emits 8x8-compacted,
+        # bilinear-blended windows directly (binary-roll alignment +
+        # constant 0/1 compaction matmul in-kernel). Window permute +
+        # level interleave fold into corr_fc1's kernel (paired_corr_perm).
+        corr_in = corr_lattice_fused2(
             state.gmap_r, state.fmap1_r, state.fmap2_r,
             coords.reshape(NI, T, M, P, P, 2), state.cell_valid,
             state.n, state.slotmap, cfg.PATCH_LIFETIME, 3,
@@ -735,19 +724,6 @@ def make_vo_frame(cfg: VOConfig, vonet: VONet, event_bias: bool = True,
             )
             fmap = fmap / 4.0
             imap = imap / 4.0
-        elif (cfg.FUSED_ENCODER and vonet.input_mode == "MultiScale"
-                and events.shape[0] == 1):
-            # fused single-step path (models/encoders_fused.py): exact
-            # same math, one gate matmul + one fold matmul per scale and
-            # grouped-conv heads; Patchifier's /4 applied here
-            from ..models.encoders_fused import fused_multiscale_encode
-
-            fmap, imap, enc2 = fused_multiscale_encode(
-                params["params"]["patchify"]["encoder"],
-                events, images, mask, enc_state,
-            )
-            fmap = fmap / 4.0
-            imap = imap / 4.0
         else:
             fmap, imap, enc2 = vonet.apply(
                 params, events, images, mask, enc_state, 1,
@@ -925,14 +901,6 @@ def make_encode_only(cfg: VOConfig, vonet: VONet):
                 params["params"]["patchify"]["encoder"],
                 events, images, state.enc,
                 interpret=jax.default_backend() != "tpu",
-            )
-        elif (cfg.FUSED_ENCODER and vonet.input_mode == "MultiScale"
-                and events.shape[0] == 1):
-            from ..models.encoders_fused import fused_multiscale_encode
-
-            _, _, enc2 = fused_multiscale_encode(
-                params["params"]["patchify"]["encoder"],
-                events, images, mask, state.enc,
             )
         else:
             _, _, enc2 = vonet.apply(

@@ -1,4 +1,4 @@
-"""One-process TPU A/B: corr_lattice_fused vs fused2 vs compact at bench
+"""One-process TPU A/B: corr_lattice_fused2 variants at bench
 shapes (480x640, M=96, default windows). Also cross-checks fused2 vs fused
 numerically ON CHIP (Mosaic-lowered, not interpret).
 
@@ -15,8 +15,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from rampvo_tpu.ops.corr_pallas import (
-    corr_lattice_compact,
-    corr_lattice_fused,
     corr_lattice_fused2,
 )
 
@@ -61,19 +59,12 @@ def main():
     args = (gmap_r, fmap1, fmap2, coords, cell_valid, jnp.int32(n),
             slotmap, r, 3)
 
-    a = corr_lattice_fused(*args)
+    a = corr_lattice_fused2(*args)
     scale = float(jnp.abs(a.astype(jnp.float32)).max())
 
     VARIANTS = [
-        ("fused", corr_lattice_fused, {}),
         ("fused2(pin)", corr_lattice_fused2, {}),
         ("fused2 nopin", corr_lattice_fused2, {"pin_inputs": False}),
-        ("fused2 rs2d", corr_lattice_fused2, {"rs2d": True}),
-        ("fused2 bf16s", corr_lattice_fused2, {"bf16s": True}),
-        ("fused2 vreg", corr_lattice_fused2, {"vreg": True}),
-        ("fused2 rs2d+bf16s", corr_lattice_fused2,
-         {"rs2d": True, "bf16s": True}),
-        ("fused2 vcat", corr_lattice_fused2, {"vcat": True}),
     ]
     for name, fn, kw in VARIANTS:
         try:

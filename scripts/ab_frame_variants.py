@@ -36,7 +36,6 @@ VARIANTS = [
     # silently miscompile on real TPUs — scripts/check_layouts_onchip.py);
     # timing garbage output is meaningless, so only hardware-safe variants
     ("all-new", {}),
-    ("corr=fused", {"CORR_LAYOUT": "fused"}),
     ("enc=pallas", {"PALLAS_ENCODER": True}),
     ("cell_repr=off", {"CELL_REPROJECT": False}),
     ("cell_lin=off", {"CELL_LINEARIZE": False}),

@@ -27,8 +27,6 @@ from rampvo_tpu.ops.corr import corr as corr_xla, corr_stack
 from rampvo_tpu.ops.corr_pallas import (
     _cell_vmask,
     corr_lattice2_stacked,
-    corr_lattice_compact,
-    corr_lattice_fused,
     corr_lattice_fused2,
     folded_corr_perm,
     paired_corr_perm,
@@ -104,9 +102,7 @@ def main():
         if not ok:
             failures.append(name)
 
-    check_paired("fused", corr_lattice_fused(*args, **kw))
     check_paired("fused2", corr_lattice_fused2(*args, **kw))
-    check_paired("compact", corr_lattice_compact(*args, **kw))
 
     st = np.asarray(corr_lattice2_stacked(*args, **kw), np.float32)
     d = np.abs((ref - st)[v]).max()
@@ -135,7 +131,7 @@ def main():
     if gating:
         print(f"UNEXPECTED FAILURES: {gating}")
         sys.exit(1)
-    print("hardware-safe layouts (fused, fused2) correct")
+    print("hardware-safe layout (fused2) correct")
 
 
 if __name__ == "__main__":

@@ -13,8 +13,6 @@ from rampvo_tpu.ops.corr import corr
 from rampvo_tpu.ops.corr_pallas import (
     corr_lattice2,
     corr_lattice2_stacked,
-    corr_pallas,
-    corr_pallas2,
 )
 
 
@@ -33,38 +31,6 @@ def make_problem(seed=0, E=120, P=3, C=128, H=40, W=64, MEM=4, Mg=32):
     ii = jnp.asarray(rng.randint(0, Mg, E), jnp.int32)
     jj = jnp.asarray(rng.randint(0, MEM, E), jnp.int32)
     return gmap, fmap1, fmap2, coords, ii, jj
-
-
-class TestCorrPallas:
-    def test_single_level_matches_xla(self):
-        gmap, fmap1, _, coords, ii, jj = make_problem()
-        a = corr(gmap, fmap1, coords, ii, jj, 3)
-        b = corr_pallas(gmap, fmap1, coords, ii, jj, 3, interpret=True)
-        scale = float(jnp.abs(a).max())
-        assert float(jnp.abs(a - b).max()) / scale < 5e-3  # bf16 output
-
-    def test_fused_two_level_matches_xla(self):
-        gmap, fmap1, fmap2, coords, ii, jj = make_problem(seed=1)
-        a1 = corr(gmap, fmap1, coords, ii, jj, 3)
-        a2 = corr(gmap, fmap2, coords / 4.0, ii, jj, 3)
-        b1, b2 = corr_pallas2(
-            gmap, fmap1, fmap2, coords, ii, jj, 3, interpret=True
-        )
-        scale = float(jnp.abs(a1).max())
-        assert float(jnp.abs(a1 - b1).max()) / scale < 5e-3
-        assert float(jnp.abs(a2 - b2).max()) / scale < 5e-3
-
-    def test_wide_spread_windows_zeroed(self):
-        """Pixels beyond SPREAD px from the center get zeroed windows."""
-        gmap, fmap1, _, coords, ii, jj = make_problem(seed=2, E=8)
-        far = coords.at[:, 0, 0, :].add(30.0)  # blow one pixel's offset
-        b = corr_pallas(gmap, fmap1, far, ii, jj, 3, interpret=True)
-        a = corr(gmap, fmap1, far, ii, jj, 3)
-        # other pixels still match
-        np.testing.assert_allclose(
-            np.asarray(b[:, 1:, :, :]), np.asarray(a[:, 1:, :, :]),
-            atol=5e-3 * float(jnp.abs(a).max()),
-        )
 
 
 class TestCorrLattice:
@@ -133,12 +99,13 @@ class TestCorrLattice:
         assert ds / scale < 2e-2, ds
         assert bool(jnp.isfinite(st.astype(jnp.float32)).all())
 
-    def test_fused2_matches_fused(self):
-        """corr_lattice_fused2 (direct slice->MXU dots, no staging
-        round-trips) == corr_lattice_fused in the paired layout."""
+    def test_fused2_matches_stacked_reference(self):
+        """corr_lattice_fused2 (the production TPU kernel, paired layout)
+        == corr_lattice2_stacked (the interpret reference, stacked layout)
+        mapped through paired_corr_perm, for valid edges."""
         from rampvo_tpu.ops.corr_pallas import (
-            corr_lattice_fused,
             corr_lattice_fused2,
+            paired_corr_perm,
         )
 
         rng = np.random.RandomState(11)
@@ -164,26 +131,29 @@ class TestCorrLattice:
             slotmap[f] = f % MEM
         slotmap = jnp.asarray(slotmap)
 
-        a = corr_lattice_fused(
+        # reference: the stacked interpret kernel, remapped to the paired
+        # layout (inverse of what check_layouts_onchip.py does)
+        st = np.asarray(corr_lattice2_stacked(
             gmap_r, fmap1, fmap2, coords, cell_valid, jnp.int32(n),
             slotmap, r, 3, interpret=True,
-        ).astype(jnp.float32)
-        scale = float(jnp.abs(a).max())
-        # every production-candidate fused2 variant must match fused
-        for name, kw in (
-            ("default", {}),
-            ("nopin", {"pin_inputs": False}),
-            ("rs2d", {"rs2d": True}),
-            ("bf16s", {"bf16s": True}),
-            ("vreg", {"vreg": True}),
-            ("vcat", {"vcat": True}),
-        ):
+        ), np.float32)
+        idx_paired = paired_corr_perm(P, 3)
+        a = np.zeros((st.shape[0], len(idx_paired)), np.float32)
+        for cix, rc in enumerate(idx_paired):
+            if rc >= 0:
+                a[:, cix] = st[:, rc]
+        scale = float(np.abs(a).max())
+
+        for name, kw in (("default", {}), ("nopin", {"pin_inputs": False})):
             b = corr_lattice_fused2(
                 gmap_r, fmap1, fmap2, coords, cell_valid, jnp.int32(n),
                 slotmap, r, 3, interpret=True, **kw,
             ).astype(jnp.float32)
             assert bool(jnp.isfinite(b).all())
-            d = float(jnp.abs(a - b).max())
+            # compare only the real-window lanes (paired layout has dead
+            # lanes where idx_paired < 0; fused2 zeroes them via `good`)
+            live = np.asarray(idx_paired) >= 0
+            d = float(np.abs((np.asarray(b) - a)[:, live]).max())
             assert d / scale < 1e-2, (name, d / scale)
 
         # PLANAR coords interface (the production runtime path) must match

@@ -136,33 +136,6 @@ class TestEncoders:
         assert state["ss"][2].shape == (H // 4, W // 4, 32)
 
     @pytest.mark.parametrize("mval", [True, False])
-    @pytest.mark.slow
-    def test_fused_single_step_matches_multiscale(self, mval):
-        """The fused inference path (models/encoders_fused.py: one gate
-        matmul + one composed fold matmul per scale, grouped-conv heads)
-        must reproduce MultiScaleEncoder exactly at T=1."""
-        from rampvo_tpu.models.encoders_fused import fused_multiscale_encode
-
-        ev = jnp.asarray(np.random.RandomState(0).rand(1, H, W, 5),
-                         jnp.float32)
-        im = jnp.asarray(np.random.RandomState(1).rand(1, H, W, 3),
-                         jnp.float32)
-        st = MultiScaleEncoder.init_state(H, W)
-        st = jax.tree_util.tree_map(lambda x: x + 0.1, st)  # nonzero ss
-        m = MultiScaleEncoder()
-        params = m.init(jax.random.PRNGKey(0), ev, im, jnp.asarray([True]),
-                        st, 1)
-        mask = jnp.asarray([mval])
-        f1, i1, s1 = m.apply(params, ev, im, mask, st, 1)
-        f2, i2, s2 = fused_multiscale_encode(
-            params["params"], ev, im, mask, st
-        )
-        assert float(jnp.abs(f1 - f2).max()) < 1e-4
-        assert float(jnp.abs(i1 - i2).max()) < 1e-4
-        for a, b in zip(s1["ss"], s2["ss"]):
-            assert float(jnp.abs(a - b).max()) < 1e-5
-
-    @pytest.mark.parametrize("mval", [True, False])
     def test_pallas_encode_matches_multiscale(self, mval):
         """The channel-major Pallas LSTM+fold path
         (ops/encoder_pallas.py, interpret mode on CPU) must reproduce
