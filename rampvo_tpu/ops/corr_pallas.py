@@ -45,6 +45,21 @@ SPREAD = 4            # max |patch pixel - center| handled exactly (px)
 TY = 16               # tile rows: D + 2*SPREAD
 TX = 24               # tile cols: >= D + 2*SPREAD + 7 (8-align slack)
 BAND = 16             # aligned x-band written per window
+# level-2 tile (fused2 only). Coords are 4x compressed, so SPREAD2=1
+# (TY2=10) would preserve exactness and shrink the per-edge dot — but it is
+# a MEASURED LOSER: 10 rows isn't 8-sublane-aligned, and the tile
+# slice/reshape relayout costs more than the smaller dot + one fewer roll
+# bit save (-2.19 ms at bench shapes, scripts/ab_ty2.py, exact in-spread
+# parity). Kept parameterized (spread=/tyl= kwargs + _nbits) so the A/B is
+# one monkeypatch; the shipped tile stays the aligned 16x24.
+SPREAD2 = 4
+TY2 = 16              # D + 2*SPREAD2 (8-sublane-aligned; see above)
+
+
+def _nbits(tyl, D=8):
+    """Roll bits for the fused kernel's binary alignment: enough to cover
+    the max packed offset (tyl-D)*TX + (TX-D)."""
+    return int(np.ceil(np.log2((tyl - D) * TX + (TX - D) + 1)))
 
 
 def _kernel_lat(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref,
@@ -193,16 +208,16 @@ def _kernel_lat_fused2(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref, vcol_ref,
             for u in range(GANG):
                 e = i * GANG + u
                 g_u = g_gang[u * PP:(u + 1) * PP, :]        # [PP, C]
-                for lvl, rs, scratch in (
-                    (0, rs0, scratch1), (1, rs1, scratch2)
+                for lvl, rs, scratch, tyl in (
+                    (0, rs0, scratch1, TY), (1, rs1, scratch2, TY2)
                 ):
                     if "dots" in ablate:
                         if "nors" in ablate:
                             continue
-                        rs[u] = jnp.zeros((PP, TY * TX), rs.dtype)
+                        rs[u] = jnp.zeros((PP, tyl * TX), rs.dtype)
                         continue
                     tile = scratch[
-                        pl.ds(scal_ref[0, 0, e, 2 * lvl], TY),
+                        pl.ds(scal_ref[0, 0, e, 2 * lvl], tyl),
                         pl.ds(
                             pl.multiple_of(
                                 scal_ref[0, 0, e, 2 * lvl + 1], 8
@@ -212,19 +227,21 @@ def _kernel_lat_fused2(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref, vcol_ref,
                         :,
                     ]
                     dm = jax.lax.dot_general(
-                        g_u, tile.reshape(TY * TX, C),
+                        g_u, tile.reshape(tyl * TX, C),
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     ).astype(rs.dtype)
                     rs[u] = dm
 
             outs = []
-            for lvl, rs in ((0, rs0), (1, rs1)):
+            for lvl, rs, tyl, nbits in (
+                (0, rs0, TY, _nbits(TY)), (1, rs1, TY2, _nbits(TY2))
+            ):
                 if "nors" in ablate:  # timing: isolate the rs scratch
                     # round-trip (write+readback+reshape) within "fixed"
-                    r_ = jnp.zeros((GANG * PP, TY * TX), jnp.float32)
+                    r_ = jnp.zeros((GANG * PP, tyl * TX), jnp.float32)
                 else:
-                    r_ = rs[...].reshape(GANG * PP, TY * TX)
+                    r_ = rs[...].reshape(GANG * PP, tyl * TX)
                 if "novcol" in ablate:  # timing: kill the minor-dim-2
                     # per-step vcol DMA (suspect: 864 strided descriptors
                     # into a 128-lane-padded window)
@@ -235,8 +252,8 @@ def _kernel_lat_fused2(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref, vcol_ref,
                     ]                              # [GANG*PP, 1]
                 off = v_ & 255
                 if "rolls" not in ablate:
-                    for bit in range(8):
-                        rolled = pltpu.roll(r_, TY * TX - (1 << bit), 1)
+                    for bit in range(nbits):
+                        rolled = pltpu.roll(r_, tyl * TX - (1 << bit), 1)
                         r_ = jnp.where(((off >> bit) & 1) == 1, rolled, r_)
                 if "smat" in ablate:
                     c = r_[:, :64]
@@ -296,19 +313,19 @@ def _pad_ring(fm, pad):
     return jnp.pad(fm, ((0, 0), (pad, pad + hr), (pad, pad + 16 + wr), (0, 0)))
 
 
-def _level_prep(c, H, W, P, R, D, pad):
+def _level_prep(c, H, W, P, R, D, pad, spread=SPREAD, tyl=TY):
     x = c[..., 0]
     y = c[..., 1]
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
     sy = jnp.clip(y0, -D, H + D) - R + pad
     sx = jnp.clip(x0, -D, W + D) - R + pad
-    ty = sy[:, P // 2, P // 2] - SPREAD
-    tx = ((sx[:, P // 2, P // 2] - SPREAD) // 8) * 8
+    ty = sy[:, P // 2, P // 2] - spread
+    tx = ((sx[:, P // 2, P // 2] - spread) // 8) * 8
     oy = sy - ty[:, None, None]
     ox = sx - tx[:, None, None]
-    ok = (oy >= 0) & (oy <= TY - D) & (ox >= 0) & (ox <= TX - D)
-    oy = jnp.clip(oy, 0, TY - D)
+    ok = (oy >= 0) & (oy <= tyl - D) & (ox >= 0) & (ox <= TX - D)
+    oy = jnp.clip(oy, 0, tyl - D)
     ox = jnp.clip(ox, 0, TX - D)
     return x, y, x0, y0, ty, tx, oy, ox, ok
 
@@ -604,7 +621,8 @@ def _pack_window_scalars(prep, E, PP):
     return ty, tx, off | (fx << 8) | (fy << 18) | (okb << 28)
 
 
-def _prep_pack_planar(u, v, uc, vc, H, W, R, D, pad):
+def _prep_pack_planar(u, v, uc, vc, H, W, R, D, pad, spread=SPREAD,
+                      tyl=TY):
     """_level_prep + _pack_window_scalars on PLANAR coordinates.
 
     u, v: [NC, M*PP] per-window reprojected pixel coords; uc, vc: [NC, M]
@@ -625,8 +643,8 @@ def _prep_pack_planar(u, v, uc, vc, H, W, R, D, pad):
 
     syc = jnp.clip(jnp.floor(vc).astype(jnp.int32), -D, H + D) - R + pad
     sxc = jnp.clip(jnp.floor(uc).astype(jnp.int32), -D, W + D) - R + pad
-    ty = syc - SPREAD
-    tx = ((sxc - SPREAD) // 8) * 8
+    ty = syc - spread
+    tx = ((sxc - spread) // 8) * 8
 
     def expand(a):  # [NC, M] -> [NC, M*PP] (broadcast over the PP lanes)
         return jnp.broadcast_to(
@@ -635,8 +653,8 @@ def _prep_pack_planar(u, v, uc, vc, H, W, R, D, pad):
 
     oy = sy - expand(ty)
     ox = sx - expand(tx)
-    ok = (oy >= 0) & (oy <= TY - D) & (ox >= 0) & (ox <= TX - D)
-    oy = jnp.clip(oy, 0, TY - D)
+    ok = (oy >= 0) & (oy <= tyl - D) & (ox >= 0) & (ox <= TX - D)
+    oy = jnp.clip(oy, 0, tyl - D)
     ox = jnp.clip(ox, 0, TX - D)
 
     off = oy * TX + ox
@@ -703,14 +721,16 @@ def corr_lattice_fused2(
         tyA, txA, vA = _prep_pack_planar(
             u1, v1_, uc1, vc1, H1, W1, R, D, pad)
         tyB, txB, vB = _prep_pack_planar(
-            u1 / 4.0, v1_ / 4.0, uc1 / 4.0, vc1 / 4.0, H2, W2, R, D, pad)
+            u1 / 4.0, v1_ / 4.0, uc1 / 4.0, vc1 / 4.0, H2, W2, R, D, pad,
+            spread=SPREAD2, tyl=TY2)
         scal = jnp.stack([tyA, txA, tyB, txB], axis=-1).astype(
             jnp.int32).reshape(NI, T, M, 4)
         vcol = jnp.stack([vA, vB], axis=-1).reshape(NI, T, M * PP, 2)
     else:
         cflat = coords.reshape(E, P, P, 2)
         prep1 = _level_prep(cflat, H1, W1, P, R, D, pad)
-        prep2 = _level_prep(cflat / 4.0, H2, W2, P, R, D, pad)
+        prep2 = _level_prep(cflat / 4.0, H2, W2, P, R, D, pad,
+                            spread=SPREAD2, tyl=TY2)
 
         ty1, tx1, v1 = _pack_window_scalars(prep1, E, PP)
         ty2, tx2, v2 = _pack_window_scalars(prep2, E, PP)
@@ -826,7 +846,7 @@ def corr_lattice_fused2(
                 # f32: Mosaic dynamic rotate needs 32-bit lanes (bf16
                 # staging here was the r02 miscompile regression)
                 pltpu.VMEM((GANG, PP, TY * TX), jnp.float32),
-                pltpu.VMEM((GANG, PP, TY * TX), jnp.float32),
+                pltpu.VMEM((GANG, PP, TY2 * TX), jnp.float32),
                 pltpu.SMEM((1,), jnp.int32),
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,

@@ -219,8 +219,10 @@ def test_corr_matches_numpy_oracle(setup):
     vo, state, _, _ = setup
     ii, jj, kk, valid = _edges(state)
     iij, jjj, kkj = jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(kk)
-    coords, corr_in, ctx = _edge_corr_ctx(CFG, state, iij, jjj, kkj)
-    coords = np.asarray(coords)
+    _target, corr_in, ctx = _edge_corr_ctx(CFG, state, iij, jjj, kkj)
+    # _edge_corr_ctx returns only the [E, 2] center targets (planar r04);
+    # rebuild the full [E, P, P, 2] window coords for the oracle
+    coords = np.asarray(_reproject_edges(CFG, state, iij, jjj, kkj))
     corr_in = np.asarray(corr_in)
 
     from rampvo_tpu.ops.corr_pallas import RING_PAD
@@ -409,13 +411,12 @@ def test_full_update_step_matches_oracle(setup):
     # ---- recompute the production target/weight (same deterministic fns
     # _update calls) and check last_weight wiring ----
     iij, jjj, kkj = jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(kk)
-    coords, corr_in, ctx = _edge_corr_ctx(CFG, state, iij, jjj, kkj)
+    center, corr_in, ctx = _edge_corr_ctx(CFG, state, iij, jjj, kkj)
     _, (delta, weight) = update_fn(
         vo.params, state.net.reshape(-1, DIM), ctx, corr_in,
         iij, jjj, kkj, jnp.asarray(valid), None,
     )
-    P = state.gmap_r.shape[-3]
-    target = np.asarray(coords)[:, P // 2, P // 2] + np.asarray(delta)
+    target = np.asarray(center) + np.asarray(delta)
     h4, w4 = state.hw4
     wgt = np.asarray(weight).copy()
     ok = (
