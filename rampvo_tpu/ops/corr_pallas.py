@@ -62,6 +62,25 @@ def _nbits(tyl, D=8):
     return int(np.ceil(np.log2((tyl - D) * TX + (TX - D) + 1)))
 
 
+def _s4_consts(D=8):
+    """Blend-folded window extraction matrix [D*TX, 256].
+
+    c4 = r_aligned[:, :D*TX] @ S4 yields the four bilinear corner
+    extractions [c00 | c01 | c10 | c11] (lane shifts 0/1/8/9 of the 8x8
+    compaction) in one MXU pass — replacing the three [*, 64] lane rolls
+    of the blend (measured 3.4 ms/call at bench shapes, the second-largest
+    kernel phase) with 2 extra MXU column tiles. The `good` window mask
+    (dx < D-1, dy < D-1) is pre-folded: dead columns are zero, so shifted
+    indices never wrap."""
+    S4 = np.zeros((D * TX, 256), np.float32)
+    for a, s in enumerate((0, 1, 8, 9)):
+        for k in range(64):
+            if (k // 8 < D - 1) and (k % 8 < D - 1):
+                m = k + s
+                S4[(m // 8) * TX + (m % 8), a * 64 + k] = 1.0
+    return S4
+
+
 def _kernel_lat(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref,
                 out1_ref, out2_ref, scratch1, scratch2, tile_scratch,
                 dmt_scratch, last_slot, sem1, sem2, *, C, PP, D, M, NI):
@@ -190,15 +209,14 @@ def _kernel_lat_fused2(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref, vcol_ref,
 
     @pl.when(valid)
     def _compute():
-        # S and the window mask are COMPILE-TIME constants built in the
-        # wrapper (numpy) and passed as one pinned VMEM input: pallas
+        # S4 (blend-folded extraction) is a COMPILE-TIME constant built in
+        # the wrapper (numpy) and passed as one pinned VMEM input: pallas
         # kernel jaxprs are lowered WITHOUT dead-code elimination and TPUs
         # have no integer divide — building these in-kernel via
         # broadcasted_iota + //24 / %24 ran per grid step and measured
         # ~11 ms/call at bench shapes (61% of the kernel was this "fixed"
         # cost; see scripts/ab_fused2_phases.py)
-        S = consts_ref[: D * TX, :]                       # [D*TX, 64] f32
-        good = consts_ref[D * TX: D * TX + GANG * PP, :]  # [GANG*PP, 64]
+        S4 = consts_ref[...]                          # [D*TX, 256] f32
 
         def edge_gang(i, carry):
             # one aligned [GANG*PP, C] load; per-edge rows sliced STATICALLY
@@ -256,26 +274,26 @@ def _kernel_lat_fused2(tabs, fmap1_hbm, fmap2_hbm, g_ref, scal_ref, vcol_ref,
                         rolled = pltpu.roll(r_, tyl * TX - (1 << bit), 1)
                         r_ = jnp.where(((off >> bit) & 1) == 1, rolled, r_)
                 if "smat" in ablate:
-                    c = r_[:, :64]
+                    c4 = jnp.concatenate([r_[:, :64]] * 4, axis=1)
                 else:
-                    c = jax.lax.dot_general(
-                        r_[:, : D * TX], S,
+                    c4 = jax.lax.dot_general(
+                        r_[:, : D * TX], S4,
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                    )  # [GANG*PP, 64]
+                    )  # [GANG*PP, 256] = [c00 | c01 | c10 | c11]
                 fx = ((v_ >> 8) & 1023).astype(jnp.float32) * (1.0 / 1024.0)
                 fy = ((v_ >> 18) & 1023).astype(jnp.float32) * (1.0 / 1024.0)
                 okm = ((v_ >> 28) & 1).astype(jnp.float32)
                 if "blend" in ablate:
-                    out_l = okm * c
+                    out_l = okm * c4[:, :64]
                 else:
                     out_l = okm * (
-                        (1 - fy) * (1 - fx) * c
-                        + (1 - fy) * fx * pltpu.roll(c, 63, 1)
-                        + fy * (1 - fx) * pltpu.roll(c, 56, 1)
-                        + fy * fx * pltpu.roll(c, 55, 1)
+                        (1 - fy) * (1 - fx) * c4[:, 0:64]
+                        + (1 - fy) * fx * c4[:, 64:128]
+                        + fy * (1 - fx) * c4[:, 128:192]
+                        + fy * fx * c4[:, 192:256]
                     )
-                outs.append(out_l * good)
+                outs.append(out_l)
 
             pair = jnp.concatenate(outs, axis=1)  # [GANG*PP, 128]
             if "nostore" in ablate:  # timing: VREG->VMEM store + relayout
@@ -356,17 +374,39 @@ def _finish_aligned(band, prep, E, P, R, D, vmask=None):
     return out.reshape(E, P, P, d * d)
 
 
+@functools.lru_cache(maxsize=16)
+def _compact_cells(NI, T, r):
+    """Static compact (target a, offset t) enumeration for the lattice
+    grid. A cell is live only if its host i = j - t + (r-1) lies within
+    the last NI frames (i <= n-1 and i > n-1-NI, the row-occupancy
+    invariant) — in (a, t) space that is the n-INDEPENDENT band
+    a - NI + 2 <= t <= a + r - 1 - (NTGT - NI), so the full NTGT*T
+    rectangle wastes ~40% of its grid steps on never-valid cells. All
+    other validity (early-sequence j bounds, cell_valid) stays dynamic via
+    the tabs `valid` predicate."""
+    NTGT = NI + r - 2
+    a_np, t_np = [], []
+    for a in range(NTGT):
+        for t in range(T):
+            i_rel = a - t + r - 1          # i - (n - NTGT)
+            if NTGT - NI <= i_rel <= NTGT - 1:
+                a_np.append(a)
+                t_np.append(t)
+    return np.asarray(a_np, np.int32), np.asarray(t_np, np.int32)
+
+
 def _cell_tables(NI, T, M, r, n, cell_valid, slotmap, MEM, L):
     """Per-grid-step tables for the lattice kernels (tiny; replaces the
     per-update 60k sort a flat edge table would need). tabs [NB, 5]: (in_row, t, slot_j,
     gslot, out_row); out_row == NI marks an invalid cell (routed to the
     trash row by the out index_map)."""
     NTGT = NI + r - 2          # targets with any possibly-live cell
-    NB = NTGT * T
 
+    a_np, t_np = _compact_cells(NI, T, r)
+    NB = len(a_np)
+    a = jnp.asarray(a_np)
+    t = jnp.asarray(t_np)
     bidx = jnp.arange(NB, dtype=jnp.int32)
-    a = bidx // T
-    t = bidx % T
     j = n - NTGT + a
     i = j - t + (r - 1)
     row = jnp.mod(i, NI)
@@ -384,7 +424,16 @@ def _cell_tables(NI, T, M, r, n, cell_valid, slotmap, MEM, L):
     in_row = jnp.where(valid, row, 0)
     out_row = jnp.where(valid, row, NI)
     t_io = jnp.where(valid, t, 0)
-    slot_j = jnp.where(valid, slot_j, 0)
+    # slot_j: FORWARD-FILL invalid steps from the last valid step instead
+    # of pinning to 0, so a pipelined whole-slot input block (fused3) sees
+    # contiguous index runs — a 0-pin would break runs at every invalid
+    # step and re-issue the (large) slot DMA (manual loaders are
+    # unaffected: they only load on `valid & changed`).
+    vidx = jnp.where(valid, bidx, -1)
+    fidx = jax.lax.cummax(vidx)
+    first = jnp.argmax(valid)
+    fill = jnp.clip(jnp.maximum(fidx, first), 0, NB - 1)
+    slot_j = jnp.where(valid, slot_j, slot_j[fill])
     gslot = jnp.where(valid, gslot, 0)
     tabs = jnp.stack(
         [in_row, t_io, slot_j, gslot, out_row], axis=1
@@ -749,18 +798,10 @@ def corr_lattice_fused2(
 
     gflat = gmap_r.reshape(MEM, M * PP, C)
 
-    # compile-time constants (S extraction matrix + window mask), one
-    # pinned VMEM input — see the kernel comment for why these must not be
+    # compile-time constant (blend-folded S4 extraction matrix), one
+    # pinned VMEM input — see the kernel comment for why it must not be
     # built in-kernel (no DCE + no hardware int div)
-    rowid = np.arange(D * TX, dtype=np.int64)[:, None]
-    outid = np.arange(64, dtype=np.int64)[None, :]
-    S_np = ((rowid // TX == outid // 8)
-            & (rowid % TX == outid % 8)).astype(np.float32)
-    lane = np.arange(64, dtype=np.int64)[None, :]
-    good_np = np.broadcast_to(
-        ((lane // 8) < D - 1) & ((lane % 8) < D - 1), (GANG * PP, 64)
-    ).astype(np.float32)
-    consts = jnp.asarray(np.concatenate([S_np, good_np], axis=0))
+    consts = jnp.asarray(_s4_consts(D))
 
     # pinned: the whole gmap ring enters as ONE constant-index block (8.8 MB
     # at bench shapes, lane dim C=128 so no padding blowup) -> loaded once.
@@ -835,9 +876,7 @@ def corr_lattice_fused2(
                 g_spec,
                 scal_spec,
                 vcol_spec,
-                pl.BlockSpec(
-                    (D * TX + GANG * PP, 64), lambda b, tb: (0, 0)
-                ),
+                pl.BlockSpec((D * TX, 256), lambda b, tb: (0, 0)),
             ],
             out_specs=out_spec,
             scratch_shapes=[
@@ -863,6 +902,325 @@ def corr_lattice_fused2(
 
     if "noepi" in ablate:  # timing: skip the validity-mask epilogue
         return out[:NI].reshape(E, PP * 128)
+    vmask = _cell_vmask(NI, T, M, r, n, cell_valid)
+    return jnp.where(
+        vmask[:, None], out[:NI].reshape(E, PP * 128), jnp.bfloat16(0.0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# fused3: strip-major tiles — the per-edge tile slice becomes a contiguous
+# 2-D sublane slice (no Mosaic relayout between the VMEM read and the MXU)
+# ---------------------------------------------------------------------------
+
+SPREAD2_S = 1         # level-2 spread for the strip kernel (coords are 4x
+TY2S = 10             # compressed, so 1 px is exact for in-spread windows)
+ROLLW2 = 256          # level-2 roll width: TY2S*TX=240 padded to 2 lane-tiles
+
+
+def n_strips(wp: int) -> int:
+    """8-aligned x-bases whose TX-wide strip fits in a padded width wp."""
+    return (wp - TX) // 8 + 1
+
+
+def strips_shape(h: int, w: int, pad: int = RING_PAD) -> tuple:
+    hp, wp = ring_padded_shape(h, w, pad)
+    return n_strips(wp), hp * TX
+
+
+def make_strips(fpad: jnp.ndarray) -> jnp.ndarray:
+    """[S, Hp, Wp, C] padded ring -> strip-major [S, NX, Hp*TX, C]:
+    strips[s, b, y*TX + x, c] = fpad[s, y, 8*b + x, c].
+
+    In the strip layout a (tyl, TX) window tile at 8-aligned x-base 8*b is
+    ONE contiguous sublane slice [b, ty*TX : ty*TX + tyl*TX, :] (offsets and
+    extents are multiples of 8 since 8 | TX) — the [tyl, TX, C] ->
+    (tyl*TX, C) reshape that Mosaic must otherwise materialize per
+    edge-level (~98 kB x 2 levels x every edge) disappears. Cost: 3x the
+    ring bytes (strips overlap by TX - 8)."""
+    S, Hp, Wp, C = fpad.shape
+    NX = n_strips(Wp)
+    cols = jnp.stack(
+        [fpad[:, :, 8 * b: 8 * b + TX, :] for b in range(NX)], axis=1
+    )                                                  # [S, NX, Hp, TX, C]
+    return cols.reshape(S, NX, Hp * TX, C)
+
+
+def _kernel_lat_fused3(tabs, strips1, strips2, g_ref, scal_ref,
+                       vcol_ref, consts_ref, out_ref, *,
+                       C, PP, D, M, NI, gang=GANG, ablate=(),
+                       pin_inputs=False):
+    """corr_lattice_fused2 on strip-major feature rings.
+
+    Differences from _kernel_lat_fused2 (semantics otherwise identical):
+
+      * the slot arrives as a PIPELINED whole-slot input block
+        [1, NX, Hp*TX, C] (Pallas double-buffers it, overlapping the
+        ~32 MB strip DMA with compute; _cell_tables forward-fills invalid
+        steps' slot index so runs stay contiguous and revisits skip the
+        copy) — the manual start+wait loader stalled the grid for the
+        full DMA on every slot change;
+      * a tile is `strips[0, b, ty*TX : ty*TX + tyl*TX, :]` — a
+        contiguous, 8-aligned 2-D sublane slice that feeds the MXU dot
+        with NO relayout (the fused2 [tyl, TX, C] slice + reshape forces
+        a per-edge-level VMEM relayout copy);
+      * level 2 runs the small exact tile (TY2S=10, SPREAD2_S=1): 2 MXU
+        column tiles instead of 3 and 7 roll bits instead of 8, on a
+        256-lane roll width (needed output lanes never read the [240, 256)
+        zero pad: max window lane 175 + max off 64 = 239);
+      * the dot->roll->extract chain stays IN REGISTERS: the gang's dot
+        results concatenate to [gang*PP, W] directly — a [gang, PP, W]
+        VMEM scratch roundtrip relayouts on readback (PP=9 rows are not
+        sublane-tile aligned; partial lane-range stores additionally
+        read-modify-write, measured +2.6 ms/call).
+
+    Ref semantics: altcorr/correlation_kernel.cu:83-136,221-232."""
+    b = pl.program_id(0)
+    valid = tabs[b, 4] < NI
+
+    @pl.when(valid)
+    def _compute():
+        S4 = consts_ref[...]                          # [D*TX, 256] f32
+
+        def edge_gang(i, carry):
+            gi = tabs[b, 3] if pin_inputs else 0
+            g_gang = g_ref[gi, pl.ds(i * gang * PP, gang * PP), :]
+            dms = ([], [])
+            for u in range(gang):
+                e = i * gang + u
+                g_u = g_gang[u * PP:(u + 1) * PP, :]        # [PP, C]
+                for lvl, strips, tyl, W_rs in (
+                    (0, strips1, TY, TY * TX), (1, strips2, TY2S, ROLLW2)
+                ):
+                    if "dots" in ablate:
+                        dms[lvl].append(jnp.zeros((PP, W_rs), jnp.float32))
+                        continue
+                    tile = strips[
+                        0,
+                        scal_ref[0, 0, e, 2 * lvl + 1],
+                        pl.ds(
+                            pl.multiple_of(
+                                scal_ref[0, 0, e, 2 * lvl] * TX, 8
+                            ),
+                            tyl * TX,
+                        ),
+                        :,
+                    ]                                       # [tyl*TX, C]
+                    dm = jax.lax.dot_general(
+                        g_u, tile,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    if W_rs > tyl * TX:
+                        dm = jnp.concatenate(
+                            [dm, jnp.zeros((PP, W_rs - tyl * TX), dm.dtype)],
+                            axis=1,
+                        )
+                    dms[lvl].append(dm)
+
+            outs = []
+            for lvl, nbits in (
+                (0, _nbits(TY)), (1, _nbits(TY2S))
+            ):
+                # in-REGISTER gang assembly: a [gang, PP, W] VMEM scratch
+                # roundtrip relayouts on readback (PP=9 rows are not
+                # sublane-tile aligned); the concat keeps the whole
+                # dot->roll->extract chain in registers
+                r_ = jnp.concatenate(dms[lvl], axis=0)  # [gang*PP, W]
+                W_roll = r_.shape[-1]
+                if "novcol" in ablate:
+                    v_ = jnp.full((gang * PP, 1), (1 << 28) | 37, jnp.int32)
+                else:
+                    v_ = vcol_ref[
+                        0, 0, pl.ds(i * gang * PP, gang * PP), pl.ds(lvl, 1)
+                    ]                              # [gang*PP, 1]
+                off = v_ & 255
+                if "rolls" not in ablate:
+                    # narrow rolls: rotations commute, so apply the high
+                    # bits on the full width, then truncate to 256 lanes
+                    # (2 lane-tiles) for the low 6 — the residual offset
+                    # <= 63 keeps every needed window lane < 255. Cuts the
+                    # per-bit roll+select vreg count by 1/3 for 6 of the
+                    # 8 level-1 bits.
+                    hi = [b for b in range(nbits) if b >= 6]
+                    for bit in hi:
+                        rolled = pltpu.roll(r_, W_roll - (1 << bit), 1)
+                        r_ = jnp.where(((off >> bit) & 1) == 1, rolled, r_)
+                    if W_roll > 256:
+                        r_ = r_[:, :256]
+                        W_roll = 256
+                    for bit in range(min(nbits, 6)):
+                        rolled = pltpu.roll(r_, W_roll - (1 << bit), 1)
+                        r_ = jnp.where(((off >> bit) & 1) == 1, rolled, r_)
+                if "smat" in ablate:
+                    c4 = jnp.concatenate([r_[:, :64]] * 4, axis=1)
+                else:
+                    c4 = jax.lax.dot_general(
+                        r_[:, : D * TX], S4,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [gang*PP, 256] = [c00 | c01 | c10 | c11]
+                fx = ((v_ >> 8) & 1023).astype(jnp.float32) * (1.0 / 1024.0)
+                fy = ((v_ >> 18) & 1023).astype(jnp.float32) * (1.0 / 1024.0)
+                okm = ((v_ >> 28) & 1).astype(jnp.float32)
+                if "blend" in ablate:
+                    out_l = okm * c4[:, :64]
+                else:
+                    out_l = okm * (
+                        (1 - fy) * (1 - fx) * c4[:, 0:64]
+                        + (1 - fy) * fx * c4[:, 64:128]
+                        + fy * (1 - fx) * c4[:, 128:192]
+                        + fy * fx * c4[:, 192:256]
+                    )
+                outs.append(out_l)
+
+            pair = jnp.concatenate(outs, axis=1)  # [gang*PP, 128]
+            out_ref[0, 0, pl.ds(i * gang, gang)] = pair.astype(
+                out_ref.dtype
+            ).reshape(gang, PP, 128)
+            return carry
+
+        if "noloop" in ablate:
+            pass
+        else:
+            jax.lax.fori_loop(0, M // gang, edge_gang, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("r", "radius", "interpret", "prestripped", "hw",
+                     "ablate", "pin_inputs", "lat"),
+)
+def corr_lattice_fused3(
+    gmap_r, fmap1, fmap2, coords, cell_valid, n, slotmap,
+    r: int, radius: int = 3, interpret: bool = False,
+    prestripped: bool = False, hw=None, ablate=(), pin_inputs: bool = True,
+    lat=None,
+) -> jnp.ndarray:
+    """Strip-major lattice correlation (`_kernel_lat_fused3`). Same
+    output contract as corr_lattice_fused2 ([NI*T*M, PP*128] bf16 paired
+    layout); same planar-coords support.
+
+    fmap1/fmap2: either raw rings [MEM, H, W, C] (strips built in-graph —
+    A/B and CPU-test path) or, with `prestripped=True`, strip-major rings
+    [MEM, NX, Hp*TX, C] from `make_strips` (production: built incrementally
+    at commit). `hw` = (H1, W1, H2, W2) is required when prestripped.
+
+    Level 2 uses the small exact tile (SPREAD2_S=1): windows whose level-1
+    px offset exceeds SPREAD are zeroed at level 2 as well (fused2 with
+    SPREAD2=4 kept some of those); both are approximations of out-of-spread
+    geometry the BA robust gates discard (ba_cuda.cu:296-308)."""
+    planar = isinstance(coords, tuple)
+    if planar:
+        u1, v1_, uc1, vc1 = coords
+        NI, T, M, P = lat
+    else:
+        NI, T, M, P, _, _ = coords.shape
+    R = radius
+    D = 2 * R + 2
+    PP = P * P
+    pad = 3 * D
+    E = NI * T * M
+    assert M % GANG == 0, "lattice kernel needs M % 8 == 0"
+    assert D == 8, "fused kernel packs 8x8 windows into 64 lanes"
+    # gang=16 measured -1.6 ms/call vs 8 with in-register assembly (half
+    # the loop iterations; 144 = 18 exact sublane tiles)
+    gang = 16 if M % 16 == 0 else GANG
+
+    if prestripped:
+        MEM, C = fmap1.shape[0], fmap1.shape[3]
+        H1, W1, H2, W2 = hw
+        strips1_r, strips2_r = fmap1, fmap2
+    else:
+        MEM, H1, W1, C = fmap1.shape
+        _, H2, W2, _ = fmap2.shape
+        strips1_r = make_strips(_pad_ring(fmap1, pad))
+        strips2_r = make_strips(_pad_ring(fmap2, pad))
+    NX1, HT1 = strips1_r.shape[1], strips1_r.shape[2]
+    NX2, HT2 = strips2_r.shape[1], strips2_r.shape[2]
+    L = slotmap.shape[0]
+
+    tabs, NB = _cell_tables(NI, T, M, r, n, cell_valid, slotmap, MEM, L)
+
+    if planar:
+        tyA, txA, vA = _prep_pack_planar(
+            u1, v1_, uc1, vc1, H1, W1, R, D, pad)
+        tyB, txB, vB = _prep_pack_planar(
+            u1 / 4.0, v1_ / 4.0, uc1 / 4.0, vc1 / 4.0, H2, W2, R, D, pad,
+            spread=SPREAD2_S, tyl=TY2S)
+        scal = jnp.stack(
+            [tyA, txA // 8, tyB, txB // 8], axis=-1
+        ).astype(jnp.int32).reshape(NI, T, M, 4)
+        vcol = jnp.stack([vA, vB], axis=-1).reshape(NI, T, M * PP, 2)
+    else:
+        cflat = coords.reshape(E, P, P, 2)
+        prep1 = _level_prep(cflat, H1, W1, P, R, D, pad)
+        prep2 = _level_prep(cflat / 4.0, H2, W2, P, R, D, pad,
+                            spread=SPREAD2_S, tyl=TY2S)
+        ty1, tx1, v1 = _pack_window_scalars(prep1, E, PP)
+        ty2, tx2, v2 = _pack_window_scalars(prep2, E, PP)
+        scal = jnp.concatenate(
+            [ty1[:, None], tx1[:, None] // 8, ty2[:, None],
+             tx2[:, None] // 8], axis=1,
+        ).astype(jnp.int32).reshape(NI, T, M, 4)
+        vcol = jnp.stack([v1, v2], axis=-1).reshape(NI, T, M * PP, 2)
+
+    gflat = gmap_r.reshape(MEM, M * PP, C)
+
+    consts = jnp.asarray(_s4_consts(D))
+
+    if pin_inputs:
+        g_spec = pl.BlockSpec((MEM, M * PP, C), lambda b, tb: (0, 0, 0))
+    else:
+        g_spec = pl.BlockSpec((1, M * PP, C), lambda b, tb: (tb[b, 3], 0, 0))
+    vcol_spec = pl.BlockSpec(
+        (1, 1, M * PP, 2), lambda b, tb: (tb[b, 0], tb[b, 1], 0, 0)
+    )
+    scal_spec = pl.BlockSpec(
+        (1, 1, M, 4), lambda b, tb: (tb[b, 0], tb[b, 1], 0, 0),
+        memory_space=pltpu.SMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (1, 1, M, PP, 128), lambda b, tb: (tb[b, 4], tb[b, 1], 0, 0, 0)
+    )
+    if "nobar" not in ablate:
+        # see the corr_lattice_fused2 barrier note (operand-copy fusion tax)
+        tabs, scal, vcol = jax.lax.optimization_barrier((tabs, scal, vcol))
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_lat_fused3, C=C, PP=PP, D=D, M=M, NI=NI,
+                          gang=gang, ablate=tuple(ablate),
+                          pin_inputs=pin_inputs),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(NB,),
+            in_specs=[
+                # whole-slot pipelined blocks: Pallas double-buffers the
+                # strip DMA behind compute; forward-filled slot indices
+                # (see _cell_tables) keep index runs contiguous
+                pl.BlockSpec(
+                    (1, NX1, HT1, C), lambda b, tb: (tb[b, 2], 0, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, NX2, HT2, C), lambda b, tb: (tb[b, 2], 0, 0, 0)
+                ),
+                g_spec,
+                scal_spec,
+                vcol_spec,
+                pl.BlockSpec((D * TX, 256), lambda b, tb: (0, 0)),
+            ],
+            out_specs=out_spec,
+            scratch_shapes=[],
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (NI + 1, T, M, PP, 128), jnp.bfloat16
+        ),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(tabs, strips1_r, strips2_r, gflat, scal, vcol, consts)
+
     vmask = _cell_vmask(NI, T, M, r, n, cell_valid)
     return jnp.where(
         vmask[:, None], out[:NI].reshape(E, PP * 128), jnp.bfloat16(0.0)

@@ -407,20 +407,13 @@ def pallas_singlescale_encode(enc_params, events, images, state_cm,
     return fmap, imap, {"hc": hc, "ss": ss}
 
 
-def pallas_multiscale_encode(enc_params, events, images, mask, state,
-                             interpret: bool = False):
-    """MultiScaleEncoder single-step forward with the channel-major kernel
-    for every scale's LSTM+fold chain; the two pyramid heads stay on the
-    standard flax path (the grouped-conv head variant measured slower).
-
-    Heads replicate models.encoders.MultiScaleBasicEncoder4's conv heads
-    exactly (checkpoint-parity tested).
-    `state["ss"]` entries may be NHWC [H, W, h] (standard) or
-    channel-major [h, H*W] (as returned by this function with
-    `cm_state=True`); the returned state matches the input form.
-    """
-    from ..models.encoders import MultiScaleBasicEncoder4
-
+def pallas_multiscale_chain(enc_params, events, images, mask, state,
+                            interpret: bool = False):
+    """The recurrent part of `pallas_multiscale_encode` only: per-scale
+    LSTM+fold chains. Returns (new_ss_nhwc list, new state). The heads are
+    NOT recurrent given the super-states, so a K-frame chunk can scan this
+    and run `multiscale_heads` batched over K (better MXU utilization on
+    the C<=64 convs than K separate batch-1 head passes)."""
     ev = events[0]
     im = images[0]
     m = mask.reshape(-1)[0]
@@ -451,15 +444,41 @@ def pallas_multiscale_encode(enc_params, events, images, mask, state,
         )
         new_ss.append(ss_cm if cm_state else ss_cm.T.reshape(Hs, Ws, h))
         new_ss_nhwc.append(ss_cm.T.reshape(Hs, Ws, h))
+    return new_ss_nhwc, {"ss": new_ss}
 
-    dims0 = new_ss_nhwc[0].shape[-1]
+
+def multiscale_heads(enc_params, ss_nhwc):
+    """The two pyramid CNN heads on super-states [..., Hs, Ws, h] (any
+    leading batch dims; flax convs map over them). Replicates
+    models.encoders.MultiScaleBasicEncoder4 exactly (checkpoint-parity
+    tested)."""
+    from ..models.encoders import MultiScaleBasicEncoder4
+
+    dims0 = ss_nhwc[0].shape[-1]
     fmap = MultiScaleBasicEncoder4(128, "instance", dims0).apply(
-        {"params": enc_params["fmap_encoder"]}, *new_ss_nhwc
+        {"params": enc_params["fmap_encoder"]}, *ss_nhwc
     )
     imap = MultiScaleBasicEncoder4(384, "none", dims0).apply(
-        {"params": enc_params["imap_encoder"]}, *new_ss_nhwc
+        {"params": enc_params["imap_encoder"]}, *ss_nhwc
     )
-    return fmap[None], imap[None], {"ss": new_ss}
+    return fmap, imap
+
+
+def pallas_multiscale_encode(enc_params, events, images, mask, state,
+                             interpret: bool = False):
+    """MultiScaleEncoder single-step forward with the channel-major kernel
+    for every scale's LSTM+fold chain; the two pyramid heads stay on the
+    standard flax path (the grouped-conv head variant measured slower).
+
+    `state["ss"]` entries may be NHWC [H, W, h] (standard) or
+    channel-major [h, H*W] (as returned by this function with
+    `cm_state=True`); the returned state matches the input form.
+    """
+    new_ss_nhwc, new_state = pallas_multiscale_chain(
+        enc_params, events, images, mask, state, interpret=interpret
+    )
+    fmap, imap = multiscale_heads(enc_params, new_ss_nhwc)
+    return fmap[None], imap[None], new_state
 
 
 def multiscale_init_state_cm(H, W, lstm_dim=16, scales=(1, 2, 4),

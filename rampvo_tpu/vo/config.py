@@ -35,18 +35,22 @@ class VOConfig:
     # Pallas interpret mode (CPU-runnable — test coverage of the TPU path)
     CORR_IMPL: str = "auto"
 
-    # lattice-path implementation toggles. CORR_LAYOUT: "fused2"
-    # (DEFAULT, the only hardware path) = binary-roll alignment +
-    # compaction + blend in-kernel, direct slice->MXU dots, pipelined
-    # scalar columns (corr_lattice_fused2) — STATIC-amount rolls only,
-    # the one roll construct that lowers correctly on real hardware.
-    # "folded" (corr_lattice2_stacked folded=True) uses per-window
-    # DYNAMIC-amount pltpu.roll, which SILENTLY MISCOMPILES on the TPU
-    # (r03 finding: interpret-mode green, 1.0 rel garbage on chip —
-    # scripts/check_layouts_onchip.py); it remains as the CPU/interpret
-    # reference implementation only. Measured dead-end layouts (fused,
-    # paired, compact, stacked generations) were removed in r04 — see
-    # STATUS.md's graveyard record.
+    # lattice-path implementation toggles. CORR_LAYOUT: "fused3"
+    # (DEFAULT, hardware path) = fused2 on STRIP-MAJOR feature rings —
+    # the per-edge tile is one contiguous 8-aligned 2-D sublane slice
+    # (no Mosaic relayout into the MXU dot), small exact level-2 tile,
+    # blend-folded S4 extraction, compact grid; in-process A/B r04:
+    # -3.1 ms/call vs fused2 at bench shapes, in-spread parity EXACT.
+    # "fused2" = the padded-ring ancestor (kept: second hardware-safe
+    # path, and the non-strip rings it shares with the probe path).
+    # Both use STATIC-amount rolls only, the one roll construct that
+    # lowers correctly on real hardware. "folded" (corr_lattice2_stacked
+    # folded=True) uses per-window DYNAMIC-amount pltpu.roll, which
+    # SILENTLY MISCOMPILES on the TPU (r03 finding: interpret-mode green,
+    # 1.0 rel garbage on chip — scripts/check_layouts_onchip.py); it
+    # remains as the CPU/interpret reference implementation only.
+    # Measured dead-end layouts (fused, paired, compact, stacked
+    # generations) were removed in r04 — see STATUS.md's graveyard record.
     # channel-major Pallas kernel for the per-scale LSTM+fold chain
     # (ops/encoder_pallas.py) — removes the NHWC lane-padding tax on the
     # C<=32 intermediates; heads stay flax. Measured -0.9 ms/frame on chip
@@ -62,7 +66,7 @@ class VOConfig:
 
             return jax.default_backend() == "tpu"
         return bool(self.PALLAS_ENCODER)
-    CORR_LAYOUT: str = "fused2"
+    CORR_LAYOUT: str = "fused3"
     CELL_REPROJECT: bool = True  # per-cell relative poses in reprojection
     CELL_LINEARIZE: bool = True  # per-cell linearization inside ba_infer
     BA_ITERS: int = 2            # GN iterations per update (Ramp_vo.py:304)

@@ -42,7 +42,9 @@ from ..ops.corr_pallas import (
     RING_PAD,
     corr_lattice2_stacked,
     corr_lattice_fused2,
+    corr_lattice_fused3,
     folded_corr_perm,
+    make_strips,
     paired_corr_perm,
 )
 from .config import VOConfig
@@ -173,6 +175,25 @@ def _commit(cfg: VOConfig, state: VOState, fmap, gmap, imap_vec, patches_new,
         (s, RING_PAD, RING_PAD, 0),
     )
 
+    # strip-major views for the fused3 kernel: rebuild the new slot only
+    # (~28 MB write/frame; the kernel then reads tiles with zero relayout)
+    strips1_r, strips2_r = state.strips1_r, state.strips2_r
+    if cfg.CORR_LAYOUT == "fused3":
+        for ring, strips_attr in ((fmap1_r, "strips1_r"),
+                                  (fmap2_r, "strips2_r")):
+            slot = jax.lax.dynamic_slice(
+                ring, (s, 0, 0, 0), (1,) + ring.shape[1:]
+            )
+            new = make_strips(slot)
+            if strips_attr == "strips1_r":
+                strips1_r = jax.lax.dynamic_update_slice(
+                    strips1_r, new, (s, 0, 0, 0)
+                )
+            else:
+                strips2_r = jax.lax.dynamic_update_slice(
+                    strips2_r, new, (s, 0, 0, 0)
+                )
+
     # provisional logical registration (valid only if the frame is kept)
     l2g = state.l2g.at[n].set(g)
 
@@ -181,6 +202,7 @@ def _commit(cfg: VOConfig, state: VOState, fmap, gmap, imap_vec, patches_new,
         pat_cx=pat_cx, pat_cy=pat_cy, colors=colors,
         slot_free=slot_free, slotmap=slotmap,
         imap_r=imap_r, gmap_r=gmap_r, fmap1_r=fmap1_r, fmap2_r=fmap2_r,
+        strips1_r=strips1_r, strips2_r=strips2_r,
         l2g=l2g, counter=g + 1, rng=rng,
         intrinsics=intrinsics / 4.0,
     )
@@ -312,19 +334,29 @@ def _edge_corr_ctx_lattice(cfg: VOConfig, state: VOState, ii, jj, kk):
     L = state.l2g.shape[0]
 
     h4, w4 = state.hw4
-    if cfg.CORR_LAYOUT == "fused2" and cfg.CELL_REPROJECT:
+    if cfg.CORR_LAYOUT in ("fused2", "fused3") and cfg.CELL_REPROJECT:
         u, v, uc, vc = _reproject_lattice_planar(cfg, state)
         target = jnp.stack(
             [uc.reshape(-1), vc.reshape(-1)], axis=-1
         )                                                   # [E, 2]
-        corr_in = corr_lattice_fused2(
-            state.gmap_r, state.fmap1_r, state.fmap2_r,
-            (u, v, uc, vc), state.cell_valid,
-            state.n, state.slotmap, cfg.PATCH_LIFETIME, 3,
-            interpret=cfg.CORR_IMPL == "lattice_interpret",
-            prepadded=True, hw=(h4, w4, h4 // 4, w4 // 4),
-            lat=(NI, T, M, P),
-        )
+        if cfg.CORR_LAYOUT == "fused3":
+            corr_in = corr_lattice_fused3(
+                state.gmap_r, state.strips1_r, state.strips2_r,
+                (u, v, uc, vc), state.cell_valid,
+                state.n, state.slotmap, cfg.PATCH_LIFETIME, 3,
+                interpret=cfg.CORR_IMPL == "lattice_interpret",
+                prestripped=True, hw=(h4, w4, h4 // 4, w4 // 4),
+                lat=(NI, T, M, P),
+            )
+        else:
+            corr_in = corr_lattice_fused2(
+                state.gmap_r, state.fmap1_r, state.fmap2_r,
+                (u, v, uc, vc), state.cell_valid,
+                state.n, state.slotmap, cfg.PATCH_LIFETIME, 3,
+                interpret=cfg.CORR_IMPL == "lattice_interpret",
+                prepadded=True, hw=(h4, w4, h4 // 4, w4 // 4),
+                lat=(NI, T, M, P),
+            )
         kk_rows = kk.reshape(NI, T, M)[:, 0, :].reshape(-1)
         slot_k = state.slotmap[jnp.clip(kk_rows // M, 0, L - 1)]
         gidx = jnp.clip(slot_k, 0, MEM - 1) * M + kk_rows % M
@@ -335,7 +367,15 @@ def _edge_corr_ctx_lattice(cfg: VOConfig, state: VOState, ii, jj, kk):
         coords = _reproject_edges_lattice(cfg, state, ii, jj, kk)
     else:
         coords = _reproject_edges(cfg, state, ii, jj, kk)
-    if cfg.CORR_LAYOUT == "fused2":
+    if cfg.CORR_LAYOUT == "fused3":
+        corr_in = corr_lattice_fused3(
+            state.gmap_r, state.strips1_r, state.strips2_r,
+            coords.reshape(NI, T, M, P, P, 2), state.cell_valid,
+            state.n, state.slotmap, cfg.PATCH_LIFETIME, 3,
+            interpret=cfg.CORR_IMPL == "lattice_interpret",
+            prestripped=True, hw=(h4, w4, h4 // 4, w4 // 4),
+        )
+    elif cfg.CORR_LAYOUT == "fused2":
         # paired 128-lane layout: the kernel emits 8x8-compacted,
         # bilinear-blended windows directly (binary-roll alignment +
         # constant 0/1 compaction matmul in-kernel). Window permute +
@@ -764,14 +804,12 @@ def make_vo_frame(cfg: VOConfig, vonet: VONet, event_bias: bool = True,
             (delta.astype(jnp.float32), weight.astype(jnp.float32)),
         )
 
-    def vo_frame(params, state: VOState, events, images, mask, intrinsics):
-        # inputs may arrive in compact transfer dtypes (int8 stacks,
-        # float16 images) — promote on device
-        events = events.astype(jnp.float32)
-        images = images.astype(jnp.float32)
-        fmap, imap, enc2 = encode_fn(params, events, images, mask, state.enc)
-        state = state.replace(enc=enc2)
-
+    def frame_post(params, state: VOState, events, images, mask,
+                   intrinsics, fmap, imap):
+        """Everything after the encoder (patch select -> commit -> probe
+        gate -> update/keyframe). Split out so `make_vo_frames_chunk` can
+        run the encoder chain scanned but the CNN heads BATCHED over the
+        chunk (the heads are not recurrent given the super-states)."""
         # patch coordinate selection at 1/4 res — three-way priority
         # event_bias > GRADIENT_BIAS > random (ref: net.py:163-188; the
         # reference's gradient branch is latent — net.py never receives
@@ -845,6 +883,18 @@ def make_vo_frame(cfg: VOConfig, vonet: VONet, event_bias: bool = True,
 
         return jax.lax.cond(skip, do_skip, do_advance, state)
 
+    def vo_frame(params, state: VOState, events, images, mask, intrinsics):
+        # inputs may arrive in compact transfer dtypes (int8 stacks,
+        # float16 images) — promote on device
+        events = events.astype(jnp.float32)
+        images = images.astype(jnp.float32)
+        fmap, imap, enc2 = encode_fn(params, events, images, mask, state.enc)
+        state = state.replace(enc=enc2)
+        return frame_post(params, state, events, images, mask, intrinsics,
+                          fmap, imap)
+
+    vo_frame.encode_fn = encode_fn
+    vo_frame.frame_post = frame_post
     if not jit_wrap:
         return vo_frame
     return jax.jit(vo_frame, donate_argnums=(1,))
@@ -866,6 +916,14 @@ def make_vo_frames_chunk(cfg: VOConfig, vonet: VONet,
     """
     frame = make_vo_frame(cfg, vonet, event_bias, oracle, jit_wrap=False)
 
+    # NOTE (r04 measured dead end): running the encoder's (non-recurrent)
+    # pyramid CNN heads ONCE batched over the K chunk frames — scan the
+    # LSTM+fold chain, then heads at batch K — measured +0.3/+0.4 ms/frame
+    # vs this plain per-frame scan (in-process A/B on fused2 AND fused3,
+    # scripts/ab_chunk_variants.py): XLA already keeps the batch-1 heads
+    # off the critical path, and the split scan materializes K super-state
+    # pyramids. The chain/heads split survives in ops/encoder_pallas.py
+    # (pallas_multiscale_chain / multiscale_heads) for probes.
     def frames(params, state, events, images, masks, intrinsics):
         def body(st, xs):
             ev, im, m = xs

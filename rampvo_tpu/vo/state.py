@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ..ops.corr_pallas import RING_PAD, ring_padded_shape
+from ..ops.corr_pallas import RING_PAD, ring_padded_shape, strips_shape
 from .config import VOConfig
 
 
@@ -86,6 +86,14 @@ class VOState:
     initialized: jnp.ndarray  # bool
     intrinsics: jnp.ndarray   # [4] fx fy cx cy at 1/RES
     rng: jnp.ndarray          # PRNG key
+
+    # ---- optional strip-major views of the fmap rings ----
+    # (ops/corr_pallas.make_strips), allocated only for CORR_LAYOUT
+    # "fused3": the kernel's per-edge tile becomes one contiguous 2-D
+    # sublane slice (no Mosaic relayout). Rebuilt per commit for the new
+    # slot only; indexed by the same slotmap.
+    strips1_r: Any = None     # [MEM, NX1, Hp1*TX, 128] or None
+    strips2_r: Any = None     # [MEM, NX2, Hp2*TX, 128] or None
 
     # ---- static aux (not a pytree leaf) ----
     hw4: tuple = struct.field(pytree_node=False, default=None)
@@ -172,6 +180,14 @@ def init_state(cfg: VOConfig, enc_state, ht: int, wd: int, P: int = 3,
         fmap1_r=jnp.zeros((MEM,) + ring_padded_shape(h, w) + (128,), fdt),
         fmap2_r=jnp.zeros(
             (MEM,) + ring_padded_shape(h // 4, w // 4) + (128,), fdt
+        ),
+        strips1_r=(
+            jnp.zeros((MEM,) + strips_shape(h, w) + (128,), fdt)
+            if cfg.CORR_LAYOUT == "fused3" else None
+        ),
+        strips2_r=(
+            jnp.zeros((MEM,) + strips_shape(h // 4, w // 4) + (128,), fdt)
+            if cfg.CORR_LAYOUT == "fused3" else None
         ),
         cell_valid=jnp.zeros((NI, T), bool),
         net=jnp.zeros((NI, T, M, dim), jnp.float32),

@@ -29,12 +29,12 @@ from rampvo_tpu.ops.encoder_pallas import (
 )
 
 
-def _diff(name, a, b, scale=None):
+def _diff(name, a, b, scale=None, thresh=2e-2):
     a = np.asarray(a, np.float32)
     b = np.asarray(b, np.float32)
     s = scale or max(np.abs(a).max(), 1e-6)
     d = np.abs(a - b).max()
-    ok = d / s < 2e-2 and np.isfinite(b).all()
+    ok = d / s < thresh and np.isfinite(b).all()
     print(f"{name:24s} {d/s:9.2e} rel  {'OK' if ok else 'WRONG'}",
           flush=True)
     return ok
@@ -63,9 +63,14 @@ def main():
     f2b, i2b, _ = pallas_multiscale_encode(
         params["params"], ev, im, mask, s2, interpret=INTERP
     )
-    ok &= _diff("MS fmap (step 1)", f1, f2)
+    # fmap threshold 5e-2: the fmap head ends in INSTANCE NORM, which
+    # amplifies matmul-precision rounding ~3-4x — on chip the flax path
+    # vs ITSELF at highest matmul precision measures 2.3e-2 on fmap /
+    # 7.5e-3 on imap (r04 probe), so 2e-2 would flag legitimate rounding.
+    # The defended-against failure mode (Mosaic miscompile) shows ~1.0 rel.
+    ok &= _diff("MS fmap (step 1)", f1, f2, thresh=5e-2)
     ok &= _diff("MS imap (step 1)", i1, i2)
-    ok &= _diff("MS fmap (step 2, carry)", f1b, f2b)
+    ok &= _diff("MS fmap (step 2, carry)", f1b, f2b, thresh=5e-2)
     ok &= _diff("MS imap (step 2, carry)", i1b, i2b)
 
     # ---- SingleScale (carried h/c/ss channel-major state) ----

@@ -28,6 +28,7 @@ from rampvo_tpu.ops.corr_pallas import (
     _cell_vmask,
     corr_lattice2_stacked,
     corr_lattice_fused2,
+    corr_lattice_fused3,
     folded_corr_perm,
     paired_corr_perm,
 )
@@ -103,6 +104,7 @@ def main():
             failures.append(name)
 
     check_paired("fused2", corr_lattice_fused2(*args, **kw))
+    check_paired("fused3", corr_lattice_fused3(*args, **kw))
 
     st = np.asarray(corr_lattice2_stacked(*args, **kw), np.float32)
     d = np.abs((ref - st)[v]).max()

@@ -96,9 +96,9 @@ def gate_layouts():
     from rampvo_tpu.vo.runtime import make_vo_frame
 
     H, W = 480, 640
-    # only the hardware-safe layout (static-amount rolls); folded is
+    # only the hardware-safe layouts (static-amount rolls); folded is
     # CPU/interpret-only — its dynamic rolls miscompile on real TPUs
-    for layout in ("fused2",):
+    for layout in ("fused2", "fused3"):
         cfg = VOConfig(BUFFER_SIZE=512, MAX_FRAMES=512,
                        PATCHES_PER_FRAME=96, MIXED_PRECISION=True,
                        PROBE_THRESH=-1.0, KEYFRAME_THRESH=0.0,

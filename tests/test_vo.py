@@ -368,6 +368,80 @@ class TestLatticeRuntimeCPU:
         assert np.isfinite(poses).all()
         assert len(ts) == 9
 
+    def test_chunk_pallas_encoder_matches_sequential(self):
+        """The chunked dispatch with the Pallas channel-major encoder must
+        reproduce K sequential frame calls exactly (the encoder state is
+        scan-carried through the chunk)."""
+        from rampvo_tpu.ops.encoder_pallas import multiscale_init_state_cm
+        from rampvo_tpu.vo.runtime import make_vo_frame, make_vo_frames_chunk
+        from rampvo_tpu.vo.state import init_state
+
+        cfg = VOConfig(
+            BUFFER_SIZE=64, PATCHES_PER_FRAME=8, REMOVAL_WINDOW=5,
+            OPTIMIZATION_WINDOW=4, PATCH_LIFETIME=3, KEYFRAME_INDEX=2,
+            MIXED_PRECISION=False, PROBE_THRESH=-1.0, MAX_FRAMES=64,
+            MEM=16, PALLAS_ENCODER=True,
+        )
+        vonet = VONet(input_mode="MultiScale")
+        params = vonet.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, H, W, 5)),
+            jnp.zeros((1, H, W, 3)), jnp.asarray([True]),
+        )
+        K = 4
+        evs, ims = make_frames(K, seed=5)
+        intr = jnp.asarray([100.0, 100.0, W / 2, H / 2], jnp.float32)
+        masks = jnp.ones((K, 1), bool)
+
+        frame = make_vo_frame(cfg, vonet)
+        st_a = init_state(cfg, multiscale_init_state_cm(H, W), H, W)
+        for t in range(K):
+            st_a = frame(params, st_a, jnp.asarray(evs[t]),
+                         jnp.asarray(ims[t]), masks[t], intr)
+
+        chunk = make_vo_frames_chunk(cfg, vonet)
+        st_b = init_state(cfg, multiscale_init_state_cm(H, W), H, W)
+        st_b = chunk(params, st_b, jnp.asarray(np.stack(evs)),
+                     jnp.asarray(np.stack(ims)), masks, intr)
+
+        assert int(st_b.n) == int(st_a.n)
+        np.testing.assert_allclose(
+            np.asarray(st_a.poses[:K]), np.asarray(st_b.poses[:K]),
+            rtol=0, atol=1e-4,
+        )
+
+    def test_fused3_interpret_runs(self):
+        """Full runtime plumbing of the strip-major layout: strip rings in
+        VOState, commit-time strip build, fused3 dispatch."""
+        cfg = VOConfig(
+            BUFFER_SIZE=64,
+            PATCHES_PER_FRAME=8,
+            REMOVAL_WINDOW=5,
+            OPTIMIZATION_WINDOW=4,
+            PATCH_LIFETIME=3,
+            KEYFRAME_INDEX=2,
+            MIXED_PRECISION=False,
+            PROBE_THRESH=-1.0,
+            MAX_FRAMES=64,
+            MEM=16,
+            CORR_IMPL="lattice_interpret",
+            CORR_LAYOUT="fused3",
+        )
+        vo = RampVO(cfg, None, input_mode="MultiScale", ht=H, wd=W)
+        vo.params = vo.vonet.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, H, W, 5)),
+            jnp.zeros((1, H, W, 3)),
+            jnp.asarray([True]),
+        )
+        evs, ims = make_frames(9, seed=5)
+        for t in range(9):
+            vo(t / 10.0, jnp.asarray(evs[t]), jnp.asarray(ims[t]),
+               np.array([True]), np.array([40.0, 40.0, W / 2, H / 2]))
+        assert bool(vo.state.initialized)
+        poses, ts = vo.terminate()
+        assert np.isfinite(poses).all()
+        assert len(ts) == 9
+
     def test_lattice_vs_exact_xla_trajectory_delta(self):
         """Quantify the lattice kernel's SPREAD approximation END-TO-END:
         the full network-driven VO loop run with the exact XLA correlation
