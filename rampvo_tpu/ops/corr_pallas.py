@@ -949,7 +949,7 @@ def make_strips(fpad: jnp.ndarray) -> jnp.ndarray:
 def _kernel_lat_fused3(tabs, strips1, strips2, g_ref, scal_ref,
                        vcol_ref, consts_ref, out_ref, *,
                        C, PP, D, M, NI, gang=GANG, ablate=(),
-                       pin_inputs=False):
+                       pin_inputs=False, roll_bf16=False):
     """corr_lattice_fused2 on strip-major feature rings.
 
     Differences from _kernel_lat_fused2 (semantics otherwise identical):
@@ -978,9 +978,17 @@ def _kernel_lat_fused3(tabs, strips1, strips2, g_ref, scal_ref,
     b = pl.program_id(0)
     valid = tabs[b, 4] < NI
 
+    # the roll/select/extract chain is VPU-op-count bound (~3 vops/vreg x
+    # 13-15 chained bits on [gang*PP, 256..384]); bf16 halves the vreg
+    # count of every roll, select, and the extraction matmul LHS. The
+    # output is bf16 anyway — this moves the rounding one stage earlier
+    # (STATIC-amount rolls only; the r02 Mosaic bf16 failure was
+    # dynamic_rotate).
+    rdt = jnp.bfloat16 if roll_bf16 else jnp.float32
+
     @pl.when(valid)
     def _compute():
-        S4 = consts_ref[...]                          # [D*TX, 256] f32
+        S4 = consts_ref[...].astype(rdt)              # [D*TX, 256]
 
         def edge_gang(i, carry):
             gi = tabs[b, 3] if pin_inputs else 0
@@ -993,7 +1001,7 @@ def _kernel_lat_fused3(tabs, strips1, strips2, g_ref, scal_ref,
                     (0, strips1, TY, TY * TX), (1, strips2, TY2S, ROLLW2)
                 ):
                     if "dots" in ablate:
-                        dms[lvl].append(jnp.zeros((PP, W_rs), jnp.float32))
+                        dms[lvl].append(jnp.zeros((PP, W_rs), rdt))
                         continue
                     tile = strips[
                         0,
@@ -1010,7 +1018,7 @@ def _kernel_lat_fused3(tabs, strips1, strips2, g_ref, scal_ref,
                         g_u, tile,
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                    )
+                    ).astype(rdt)
                     if W_rs > tyl * TX:
                         dm = jnp.concatenate(
                             [dm, jnp.zeros((PP, W_rs - tyl * TX), dm.dtype)],
@@ -1089,13 +1097,13 @@ def _kernel_lat_fused3(tabs, strips1, strips2, g_ref, scal_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("r", "radius", "interpret", "prestripped", "hw",
-                     "ablate", "pin_inputs", "lat"),
+                     "ablate", "pin_inputs", "lat", "roll_bf16"),
 )
 def corr_lattice_fused3(
     gmap_r, fmap1, fmap2, coords, cell_valid, n, slotmap,
     r: int, radius: int = 3, interpret: bool = False,
     prestripped: bool = False, hw=None, ablate=(), pin_inputs: bool = True,
-    lat=None,
+    lat=None, roll_bf16: bool = False,
 ) -> jnp.ndarray:
     """Strip-major lattice correlation (`_kernel_lat_fused3`). Same
     output contract as corr_lattice_fused2 ([NI*T*M, PP*128] bf16 paired
@@ -1183,6 +1191,15 @@ def corr_lattice_fused3(
     out_spec = pl.BlockSpec(
         (1, 1, M, PP, 128), lambda b, tb: (tb[b, 4], tb[b, 1], 0, 0, 0)
     )
+    # timing-only A/B ablations (garbage output): pin the big slot input /
+    # the out block to constants so EVERY grid step revisits the same
+    # block and Pallas elides the DMA — isolates slot-DMA and out-DMA
+    # shares of the kernel's fixed cost (scripts/ab_fused3_phases.py)
+    if "pinslot" in ablate:
+        tabs = tabs.at[:, 2].set(0)
+    if "pinout" in ablate:
+        tabs = tabs.at[:, 4].set(NI)
+
     if "nobar" not in ablate:
         # see the corr_lattice_fused2 barrier note (operand-copy fusion tax)
         tabs, scal, vcol = jax.lax.optimization_barrier((tabs, scal, vcol))
@@ -1190,7 +1207,7 @@ def corr_lattice_fused3(
     out = pl.pallas_call(
         functools.partial(_kernel_lat_fused3, C=C, PP=PP, D=D, M=M, NI=NI,
                           gang=gang, ablate=tuple(ablate),
-                          pin_inputs=pin_inputs),
+                          pin_inputs=pin_inputs, roll_bf16=roll_bf16),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(NB,),

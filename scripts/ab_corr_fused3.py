@@ -82,26 +82,33 @@ def main():
             r=r, prepadded=True, hw=hw, lat=lat,
         )
 
-    def run3():
+    def run3(roll_bf16=False):
         return cp.corr_lattice_fused3(
             gmap_r, st1, st2, coords, cell_valid, jnp.int32(n), slotmap,
-            r=r, prestripped=True, hw=hw, lat=lat,
+            r=r, prestripped=True, hw=hw, lat=lat, roll_bf16=roll_bf16,
         )
 
     t2 = timeit(run2)
     out2 = np.asarray(run2(), np.float32)
     t3 = timeit(run3)
     out3 = np.asarray(run3(), np.float32)
+    t3h = timeit(run3, True)
+    out3h = np.asarray(run3(True), np.float32)
     t2b = timeit(run2)  # chip-drift check
     t3b = timeit(run3)
 
     s = np.abs(out2).max()
     d3 = np.abs(out3 - out2).max()
-    print(f"fused2 : {t2:6.2f} ms  (re-run {t2b:6.2f} ms)")
-    print(f"fused3 : {t3:6.2f} ms  (re-run {t3b:6.2f} ms)  "
+    d3h = np.abs(out3h - out2).max()
+    print(f"fused2     : {t2:6.2f} ms  (re-run {t2b:6.2f} ms)")
+    print(f"fused3     : {t3:6.2f} ms  (re-run {t3b:6.2f} ms)  "
           f"delta {t2 - t3:+.2f} ms")
-    print(f"in-spread parity |f3-f2|max {d3:.2e} (scale {s:.1f})")
+    print(f"fused3-b16 : {t3h:6.2f} ms  (bf16 roll/extract chain)  "
+          f"delta {t3 - t3h:+.2f} ms vs f32 rolls")
+    print(f"in-spread parity |f3-f2|max {d3:.2e}  "
+          f"|f3b16-f2|max {d3h:.2e} (scale {s:.1f})")
     assert d3 <= 2e-2 * s, "fused3 diverges from fused2 on in-spread windows"
+    assert d3h <= 2e-2 * s, "bf16-roll fused3 diverges"
 
 
 if __name__ == "__main__":

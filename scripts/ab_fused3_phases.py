@@ -71,6 +71,11 @@ def main():
         ("-blend-smat-rolls", ("blend", "smat", "rolls")),
         ("-all(+dots)", ("blend", "smat", "rolls", "dots")),
         ("noloop", ("noloop",)),
+        # fixed-cost split: pin the strip-slot input / the out block to
+        # constants so every step revisits the same block (DMA elided)
+        ("noloop-pinslot", ("noloop", "pinslot")),
+        ("noloop-pinout", ("noloop", "pinout")),
+        ("noloop-pinboth", ("noloop", "pinslot", "pinout")),
     ]
     ts = {}
     for name, ab in CUTS:
@@ -89,6 +94,10 @@ def main():
     print(f"dots  : {ts['-blend-smat-rolls'] - ts['-all(+dots)']:6.2f} ms")
     print(f"fixed : {ts['-all(+dots)']:6.2f} ms "
           f"(noloop = grid+slotDMA {ts['noloop']:6.2f} ms)")
+    nl = ts["noloop"]
+    print(f"  slot DMA share : {nl - ts['noloop-pinslot']:6.2f} ms")
+    print(f"  out DMA share  : {nl - ts['noloop-pinout']:6.2f} ms")
+    print(f"  grid residual  : {ts['noloop-pinboth']:6.2f} ms")
 
 
 if __name__ == "__main__":
