@@ -937,13 +937,18 @@ def make_strips(fpad: jnp.ndarray) -> jnp.ndarray:
     extents are multiples of 8 since 8 | TX) — the [tyl, TX, C] ->
     (tyl*TX, C) reshape that Mosaic must otherwise materialize per
     edge-level (~98 kB x 2 levels x every edge) disappears. Cost: 3x the
-    ring bytes (strips overlap by TX - 8)."""
+    ring bytes (strips overlap by TX - 8).
+
+    Built as ONE take + block transpose (minor dims (TX, C) stay intact)
+    rather than an NX-slice stack — the stack emitted NX separate slice
+    copies plus a relayout at commit time."""
     S, Hp, Wp, C = fpad.shape
     NX = n_strips(Wp)
-    cols = jnp.stack(
-        [fpad[:, :, 8 * b: 8 * b + TX, :] for b in range(NX)], axis=1
-    )                                                  # [S, NX, Hp, TX, C]
-    return cols.reshape(S, NX, Hp * TX, C)
+    cols = (jnp.arange(NX)[:, None] * 8
+            + jnp.arange(TX)[None, :]).reshape(-1)
+    g = jnp.take(fpad, cols, axis=2)                   # [S, Hp, NX*TX, C]
+    g = g.reshape(S, Hp, NX, TX, C).transpose(0, 2, 1, 3, 4)
+    return g.reshape(S, NX, Hp * TX, C)
 
 
 def _kernel_lat_fused3(tabs, strips1, strips2, g_ref, scal_ref,
@@ -1005,10 +1010,10 @@ def _kernel_lat_fused3(tabs, strips1, strips2, g_ref, scal_ref,
                         continue
                     tile = strips[
                         0,
-                        scal_ref[0, 0, e, 2 * lvl + 1],
+                        scal_ref[0, 0, 2 * lvl + 1, e],
                         pl.ds(
                             pl.multiple_of(
-                                scal_ref[0, 0, e, 2 * lvl] * TX, 8
+                                scal_ref[0, 0, 2 * lvl, e] * TX, 8
                             ),
                             tyl * TX,
                         ),
@@ -1156,9 +1161,12 @@ def corr_lattice_fused3(
         tyB, txB, vB = _prep_pack_planar(
             u1 / 4.0, v1_ / 4.0, uc1 / 4.0, vc1 / 4.0, H2, W2, R, D, pad,
             spread=SPREAD2_S, tyl=TY2S)
+        # scal rides flat [NI, T, 4, M] (lane dim M=96): the [.., M, 4]
+        # form pads its minor dim 4 -> 128 in HBM (30 MB physical for a
+        # 1.2 MB table, written+read per update)
         scal = jnp.stack(
-            [tyA, txA // 8, tyB, txB // 8], axis=-1
-        ).astype(jnp.int32).reshape(NI, T, M, 4)
+            [tyA, txA // 8, tyB, txB // 8], axis=1
+        ).astype(jnp.int32).reshape(NI, T, 4, M)
         vcol = jnp.stack([vA, vB], axis=-1).reshape(NI, T, M * PP, 2)
     else:
         cflat = coords.reshape(E, P, P, 2)
@@ -1167,10 +1175,10 @@ def corr_lattice_fused3(
                             spread=SPREAD2_S, tyl=TY2S)
         ty1, tx1, v1 = _pack_window_scalars(prep1, E, PP)
         ty2, tx2, v2 = _pack_window_scalars(prep2, E, PP)
-        scal = jnp.concatenate(
-            [ty1[:, None], tx1[:, None] // 8, ty2[:, None],
-             tx2[:, None] // 8], axis=1,
-        ).astype(jnp.int32).reshape(NI, T, M, 4)
+        scal = jnp.stack(
+            [ty1.reshape(NI * T, M), tx1.reshape(NI * T, M) // 8,
+             ty2.reshape(NI * T, M), tx2.reshape(NI * T, M) // 8], axis=1,
+        ).astype(jnp.int32).reshape(NI, T, 4, M)
         vcol = jnp.stack([v1, v2], axis=-1).reshape(NI, T, M * PP, 2)
 
     gflat = gmap_r.reshape(MEM, M * PP, C)
@@ -1185,7 +1193,7 @@ def corr_lattice_fused3(
         (1, 1, M * PP, 2), lambda b, tb: (tb[b, 0], tb[b, 1], 0, 0)
     )
     scal_spec = pl.BlockSpec(
-        (1, 1, M, 4), lambda b, tb: (tb[b, 0], tb[b, 1], 0, 0),
+        (1, 1, 4, M), lambda b, tb: (tb[b, 0], tb[b, 1], 0, 0),
         memory_space=pltpu.SMEM,
     )
     out_spec = pl.BlockSpec(
@@ -1241,6 +1249,362 @@ def corr_lattice_fused3(
     vmask = _cell_vmask(NI, T, M, r, n, cell_valid)
     return jnp.where(
         vmask[:, None], out[:NI].reshape(E, PP * 128), jnp.bfloat16(0.0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# fused4: cell-batched strip-major kernel (one grid step per target t-band)
+# ---------------------------------------------------------------------------
+
+TB4 = 13              # lattice cells (t values) per fused4 grid step
+
+
+def _cell_tables_a(NI, T, M, PP, r, n, slotmap, MEM, L, TB):
+    """Per-(target, t-band) tables for the cell-batched fused4 kernel.
+
+    fused3 pays the Pallas grid machinery (index maps, block-change
+    checks, DMA issue) once per lattice CELL — measured ~7.7 us x 546
+    steps ~= 4.2 ms/update, the kernel's largest fixed term (r04 phase
+    ablation). fused4 batches all of a target's cells that share a t-band
+    into ONE grid step (the strip slot is per-target, so the big DMA
+    amortizes identically) and walks t with an in-kernel dynamic-bound
+    fori_loop, shrinking the grid NTGT*T -> NTGT*ceil(T/TB) steps.
+
+    In (target a, offset t) space a cell is live iff
+      max(0, a-NI+2) <= t <= min(T-1, a+1+min(0, n-NI))    (see
+    _compact_cells for the n-independent part) and the target exists
+    (j = n-NTGT+a >= 0). Returns (tabs [NTGT*NTB, 6] int32, gidx
+    [NTGT, Tp] int32 lattice source rows, gslot [NTGT, Tp] int32 host
+    feature slots, NTB): tabs rows are (tab_a, tband_io, slot_j,
+    out_row, tlo_rel, thi_rel); out_row == NTGT routes invalid steps to
+    the trash row; slot_j is forward-filled so pipelined whole-slot
+    input blocks see contiguous runs."""
+    NTGT = NI + r - 2
+    NTB = -(-T // TB)
+    Tp = NTB * TB
+
+    a = jnp.arange(NTGT, dtype=jnp.int32)
+    j = n - NTGT + a
+    tlo_a = jnp.maximum(0, a - NI + 2)
+    thi_a = jnp.minimum(T - 1, a + 1 + jnp.minimum(0, n - NI))
+    # per-band relative bounds
+    a2 = jnp.repeat(a, NTB)
+    j2 = jnp.repeat(j, NTB)
+    tband = jnp.tile(jnp.arange(NTB, dtype=jnp.int32), NTGT)
+    lo_rel = jnp.clip(jnp.repeat(tlo_a, NTB) - tband * TB, 0, TB)
+    hi_rel = jnp.clip(jnp.repeat(thi_a, NTB) - tband * TB, -1, TB - 1)
+    valid = (j2 >= 0) & (hi_rel >= lo_rel)
+
+    slot_j = jnp.clip(slotmap[jnp.clip(j2, 0, L - 1)], 0, MEM - 1)
+    NB = NTGT * NTB
+    bidx = jnp.arange(NB, dtype=jnp.int32)
+    vidx = jnp.where(valid, bidx, -1)
+    fidx = jax.lax.cummax(vidx)
+    first = jnp.argmax(valid)
+    fill = jnp.clip(jnp.maximum(fidx, first), 0, NB - 1)
+    slot_j = jnp.where(valid, slot_j, slot_j[fill])
+
+    tabs = jnp.stack([
+        jnp.where(valid, a2, 0),
+        jnp.where(valid, tband, 0),
+        slot_j,
+        jnp.where(valid, a2, NTGT),
+        jnp.where(valid, lo_rel, 1),
+        jnp.where(valid, hi_rel, 0),
+    ], axis=1).astype(jnp.int32)
+
+    # a-space <- lattice gather rows and per-cell host feature slots
+    tt = jnp.arange(Tp, dtype=jnp.int32)[None, :]
+    i_cell = j[:, None] - tt + (r - 1)                 # [NTGT, Tp]
+    row = jnp.mod(i_cell, NI)
+    gidx = row * T + jnp.clip(tt, 0, T - 1)
+    gslot = jnp.clip(
+        slotmap[jnp.clip(i_cell, 0, L - 1)], 0, MEM - 1
+    )
+    return tabs, gidx, gslot, NTB
+
+
+def _kernel_lat_fused4(tabs, strips1, strips2, g_ref, scal_ref,
+                       vcol_ref, consts_ref, out_ref, *,
+                       C, PP, D, M, NI, gang=GANG, ablate=()):
+    """_kernel_lat_fused3 with the t-loop inside: one grid step covers a
+    target's t-band, fori_loop(tlo, thi+1) over its live cells. The t
+    axis is FLATTENED into the tiled sublane dim of the vcol/out blocks
+    (row = tc*M*PP + ...), keeping every dynamic access an 8-aligned
+    sublane offset (dynamic super-dim indexing mislowers; verified by
+    scripts/probe_dynlane.py). Per-cell host feature slots ride scal
+    column 4. Ref semantics: altcorr/correlation_kernel.cu:83-136,221-232."""
+    b = pl.program_id(0)
+    tlo = tabs[b, 4]
+    thi = tabs[b, 5]
+
+    S4 = consts_ref[...]                               # [D*TX, 256]
+
+    def cell_body(tc, carry):
+        gi = scal_ref[0, 0, 4, tc * M]
+        cw = tc * M * PP
+
+        def edge_gang(i, carry2):
+            g_gang = g_ref[gi, pl.ds(i * gang * PP, gang * PP), :]
+            dms = ([], [])
+            for u in range(gang):
+                e = i * gang + u
+                g_u = g_gang[u * PP:(u + 1) * PP, :]        # [PP, C]
+                for lvl, strips, tyl, W_rs in (
+                    (0, strips1, TY, TY * TX), (1, strips2, TY2S, ROLLW2)
+                ):
+                    if "dots" in ablate:
+                        dms[lvl].append(jnp.zeros((PP, W_rs), jnp.float32))
+                        continue
+                    tile = strips[
+                        0,
+                        scal_ref[0, 0, 2 * lvl + 1, tc * M + e],
+                        pl.ds(
+                            pl.multiple_of(
+                                scal_ref[0, 0, 2 * lvl, tc * M + e] * TX, 8
+                            ),
+                            tyl * TX,
+                        ),
+                        :,
+                    ]                                       # [tyl*TX, C]
+                    dm = jax.lax.dot_general(
+                        g_u, tile,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    if W_rs > tyl * TX:
+                        dm = jnp.concatenate(
+                            [dm,
+                             jnp.zeros((PP, W_rs - tyl * TX), dm.dtype)],
+                            axis=1,
+                        )
+                    dms[lvl].append(dm)
+
+            outs = []
+            for lvl, nbits in (
+                (0, _nbits(TY)), (1, _nbits(TY2S))
+            ):
+                r_ = jnp.concatenate(dms[lvl], axis=0)  # [gang*PP, W]
+                W_roll = r_.shape[-1]
+                if "novcol" in ablate:
+                    v_ = jnp.full(
+                        (gang * PP, 1), (1 << 28) | 37, jnp.int32)
+                else:
+                    v_ = vcol_ref[
+                        0, 0,
+                        pl.ds(cw + i * gang * PP, gang * PP),
+                        pl.ds(lvl, 1),
+                    ]                              # [gang*PP, 1]
+                off = v_ & 255
+                if "rolls" not in ablate:
+                    hi = [bb for bb in range(nbits) if bb >= 6]
+                    for bit in hi:
+                        rolled = pltpu.roll(r_, W_roll - (1 << bit), 1)
+                        r_ = jnp.where(
+                            ((off >> bit) & 1) == 1, rolled, r_)
+                    if W_roll > 256:
+                        r_ = r_[:, :256]
+                        W_roll = 256
+                    for bit in range(min(nbits, 6)):
+                        rolled = pltpu.roll(r_, W_roll - (1 << bit), 1)
+                        r_ = jnp.where(
+                            ((off >> bit) & 1) == 1, rolled, r_)
+                if "smat" in ablate:
+                    c4 = jnp.concatenate([r_[:, :64]] * 4, axis=1)
+                else:
+                    c4 = jax.lax.dot_general(
+                        r_[:, : D * TX], S4,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [gang*PP, 256] = [c00 | c01 | c10 | c11]
+                fx = ((v_ >> 8) & 1023).astype(jnp.float32) * (1.0 / 1024.0)
+                fy = ((v_ >> 18) & 1023).astype(jnp.float32) * (1.0 / 1024.0)
+                okm = ((v_ >> 28) & 1).astype(jnp.float32)
+                if "blend" in ablate:
+                    out_l = okm * c4[:, :64]
+                else:
+                    out_l = okm * (
+                        (1 - fy) * (1 - fx) * c4[:, 0:64]
+                        + (1 - fy) * fx * c4[:, 64:128]
+                        + fy * (1 - fx) * c4[:, 128:192]
+                        + fy * fx * c4[:, 192:256]
+                    )
+                outs.append(out_l)
+
+            pair = jnp.concatenate(outs, axis=1)  # [gang*PP, 128]
+            out_ref[
+                0, 0, pl.ds(cw + i * gang * PP, gang * PP), :
+            ] = pair.astype(out_ref.dtype)
+            return carry2
+
+        jax.lax.fori_loop(0, M // gang, edge_gang, 0)
+        return carry
+
+    if "noloop" in ablate:
+        pass
+    else:
+        jax.lax.fori_loop(tlo, thi + 1, cell_body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("r", "radius", "interpret", "prestripped", "hw",
+                     "ablate", "lat", "tb"),
+)
+def corr_lattice_fused4(
+    gmap_r, fmap1, fmap2, coords, cell_valid, n, slotmap,
+    r: int, radius: int = 3, interpret: bool = False,
+    prestripped: bool = False, hw=None, ablate=(), lat=None,
+    tb: int = TB4,
+) -> jnp.ndarray:
+    """Cell-batched strip-major lattice correlation. Output contract and
+    approximation level identical to corr_lattice_fused3 ([NI*T*M,
+    PP*128] bf16 paired layout, level-2 small exact tile SPREAD2_S=1);
+    the grid shrinks from one step per lattice cell to one per
+    (target, t-band) with an in-kernel dynamic t-loop, and the kernel
+    emits target-major cells that a row gather restores to lattice
+    order (rides the same pass as the vmask kill).
+
+    Ref semantics: altcorr/correlation_kernel.cu:83-136,221-232."""
+    planar = isinstance(coords, tuple)
+    if planar:
+        u1, v1_, uc1, vc1 = coords
+        NI, T, M, P = lat
+    else:
+        NI, T, M, P, _, _ = coords.shape
+    R = radius
+    D = 2 * R + 2
+    PP = P * P
+    pad = 3 * D
+    E = NI * T * M
+    NTGT = NI + r - 2
+    assert M % GANG == 0, "lattice kernel needs M % 8 == 0"
+    assert D == 8, "fused kernel packs 8x8 windows into 64 lanes"
+    gang = 16 if M % 16 == 0 else GANG
+
+    if prestripped:
+        MEM, C = fmap1.shape[0], fmap1.shape[3]
+        H1, W1, H2, W2 = hw
+        strips1_r, strips2_r = fmap1, fmap2
+    else:
+        MEM, H1, W1, C = fmap1.shape
+        _, H2, W2, _ = fmap2.shape
+        strips1_r = make_strips(_pad_ring(fmap1, pad))
+        strips2_r = make_strips(_pad_ring(fmap2, pad))
+    NX1, HT1 = strips1_r.shape[1], strips1_r.shape[2]
+    NX2, HT2 = strips2_r.shape[1], strips2_r.shape[2]
+    L = slotmap.shape[0]
+
+    tabs, gidx, gslot, NTB = _cell_tables_a(
+        NI, T, M, PP, r, n, slotmap, MEM, L, tb)
+    Tp = NTB * tb
+    NB = NTGT * NTB
+
+    if planar:
+        tyA, txA, vA = _prep_pack_planar(
+            u1, v1_, uc1, vc1, H1, W1, R, D, pad)
+        tyB, txB, vB = _prep_pack_planar(
+            u1 / 4.0, v1_ / 4.0, uc1 / 4.0, vc1 / 4.0, H2, W2, R, D, pad,
+            spread=SPREAD2_S, tyl=TY2S)
+    else:
+        cflat = coords.reshape(E, P, P, 2)
+        prep1 = _level_prep(cflat, H1, W1, P, R, D, pad)
+        prep2 = _level_prep(cflat / 4.0, H2, W2, P, R, D, pad,
+                            spread=SPREAD2_S, tyl=TY2S)
+        ty1, tx1, vA = _pack_window_scalars(prep1, E, PP)
+        ty2, tx2, vB = _pack_window_scalars(prep2, E, PP)
+        tyA = ty1.reshape(NI * T, M)
+        txA = tx1.reshape(NI * T, M)
+        tyB = ty2.reshape(NI * T, M)
+        txB = tx2.reshape(NI * T, M)
+        vA = vA.reshape(NI * T, M * PP)
+        vB = vB.reshape(NI * T, M * PP)
+
+    # lattice (row, t) -> target-major (a, t) table gather (tiny arrays).
+    # scal rides SMEM with the 5 scalar columns on the SUBLANE axis: SMEM
+    # windows pad each sublane-row to ~1 KB, so a (tb*M, 5) block would
+    # allocate tb*M KB (measured 1.28 MB > the 1 MB SMEM budget).
+    gflat_idx = gidx.reshape(NTGT * Tp)
+    scal = jnp.stack(
+        [tyA[gflat_idx], txA[gflat_idx] // 8,
+         tyB[gflat_idx], txB[gflat_idx] // 8,
+         jnp.broadcast_to(gslot.reshape(-1)[:, None], (NTGT * Tp, M))],
+        axis=0,
+    ).astype(jnp.int32).reshape(
+        5, NTGT, NTB, tb * M
+    ).transpose(1, 2, 0, 3)
+    vcol = jnp.stack(
+        [vA[gflat_idx], vB[gflat_idx]], axis=-1
+    ).reshape(NTGT, NTB, tb * M * PP, 2)
+
+    gmap_flat = gmap_r.reshape(MEM, M * PP, C)
+    consts = jnp.asarray(_s4_consts(D))
+
+    g_spec = pl.BlockSpec((MEM, M * PP, C), lambda b, tb_: (0, 0, 0))
+    scal_spec = pl.BlockSpec(
+        (1, 1, 5, tb * M), lambda b, tb_: (tb_[b, 0], tb_[b, 1], 0, 0),
+        memory_space=pltpu.SMEM,
+    )
+    vcol_spec = pl.BlockSpec(
+        (1, 1, tb * M * PP, 2), lambda b, tb_: (tb_[b, 0], tb_[b, 1], 0, 0)
+    )
+    out_spec = pl.BlockSpec(
+        (1, 1, tb * M * PP, 128), lambda b, tb_: (tb_[b, 3], tb_[b, 1], 0, 0)
+    )
+    if "pinslot" in ablate:
+        tabs = tabs.at[:, 2].set(0)
+    if "pinout" in ablate:
+        tabs = tabs.at[:, 3].set(NTGT)
+
+    if "nobar" not in ablate:
+        # see the corr_lattice_fused2 barrier note (operand-copy fusion tax)
+        tabs, scal, vcol = jax.lax.optimization_barrier((tabs, scal, vcol))
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_lat_fused4, C=C, PP=PP, D=D, M=M, NI=NI,
+                          gang=gang, ablate=tuple(ablate)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(NB,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, NX1, HT1, C), lambda b, tb_: (tb_[b, 2], 0, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, NX2, HT2, C), lambda b, tb_: (tb_[b, 2], 0, 0, 0)
+                ),
+                g_spec,
+                scal_spec,
+                vcol_spec,
+                pl.BlockSpec((D * TX, 256), lambda b, tb_: (0, 0)),
+            ],
+            out_specs=out_spec,
+            scratch_shapes=[],
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (NTGT + 1, NTB, tb * M * PP, 128), jnp.bfloat16
+        ),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(tabs, strips1_r, strips2_r, gmap_flat, scal, vcol, consts)
+
+    # target-major -> lattice order: ONE row gather (fused with the vmask
+    # kill; replaces fused3's plain `where` pass over the same bytes)
+    i_row = jnp.arange(NI, dtype=jnp.int32)[:, None]
+    tt = jnp.arange(T, dtype=jnp.int32)[None, :]
+    i_host = n - 1 - jnp.mod(n - 1 - i_row, NI) + 0 * tt
+    a_of = i_host + tt - (r - 1) - (n - NTGT)
+    src = jnp.where(
+        (a_of >= 0) & (a_of < NTGT), a_of, NTGT
+    ) * Tp + tt                                        # [NI, T]
+    out_rows = out.reshape((NTGT + 1) * Tp, M * PP * 128)[src.reshape(-1)]
+    vmask = _cell_vmask(NI, T, M, r, n, cell_valid)
+    return jnp.where(
+        vmask[:, None],
+        out_rows.reshape(E, PP * 128),
+        jnp.bfloat16(0.0),
     )
 
 

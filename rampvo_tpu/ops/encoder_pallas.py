@@ -74,7 +74,7 @@ def _lstm_fold_kernel(x_ref, ss_ref, wg_ref, bg_ref, wf_ref, bf_ref, o_ref,
     o_ref[...] = ss_new.astype(o_ref.dtype)
 
 
-def lstm_fold_cm(x_cm, ss_cm, wg, bg, wf, bf, *, hwb: int = 512,
+def lstm_fold_cm(x_cm, ss_cm, wg, bg, wf, bf, *, hwb: int = 2048,
                  interpret: bool = False):
     """Channel-major fused LSTM + fold step.
 
@@ -233,7 +233,7 @@ def _lstm_carry_fold_kernel(x_ref, hc_ref, ss_ref, wg_ref, wh_ref, bg_ref,
 
 
 def lstm_carry_fold_cm(x_cm, hc_cm, ss_cm, wg, wh, bg, wf, bf, pres, *,
-                       hwb: int = 512, interpret: bool = False):
+                       hwb: int = 2048, interpret: bool = False):
     """Channel-major carried LSTM + shared-fold step (SingleScale, T=1).
 
     x_cm [Cp, HW]; hc_cm [4hp, HW]; ss_cm [hp, HW]; wg [Cp, 8hp];

@@ -35,8 +35,12 @@ class VOConfig:
     # Pallas interpret mode (CPU-runnable — test coverage of the TPU path)
     CORR_IMPL: str = "auto"
 
-    # lattice-path implementation toggles. CORR_LAYOUT: "fused3"
-    # (DEFAULT, hardware path) = fused2 on STRIP-MAJOR feature rings —
+    # lattice-path implementation toggles. CORR_LAYOUT: "fused4" =
+    # fused3 with the lattice cells BATCHED per grid step (one step per
+    # target t-band, in-kernel dynamic t-loop) — removes the ~7.7 us x
+    # 546-step Pallas grid machinery that was the fused3 kernel's largest
+    # fixed term (r04 phase ablation ~4.2 ms/update). "fused3"
+    # (hardware path) = fused2 on STRIP-MAJOR feature rings —
     # the per-edge tile is one contiguous 8-aligned 2-D sublane slice
     # (no Mosaic relayout into the MXU dot), small exact level-2 tile,
     # blend-folded S4 extraction, compact grid; in-process A/B r04:
@@ -77,6 +81,12 @@ class VOConfig:
     # ALIASES for the oldest reachable targets (a host at n-REMOVAL_WINDOW
     # keeps backward edges to n-REMOVAL_WINDOW-PATCH_LIFETIME+1 = n-34 with
     # default config); 40 slots cover the true FEATURE_WINDOW reach.
+    # HBM cost note: each slot holds the padded fmap rings PLUS (for the
+    # fused3/fused4 strip layouts) strip-major views at ~3x the ring
+    # bytes — at 480x640/MEM=40/bf16 that is ~0.5 GB rings + ~1.3 GB
+    # strips. Scaling MEM or the input resolution scales both linearly;
+    # a 16 GB v5e chip has room for ~4x the default before the training
+    # path (which shares the chip) feels it.
     MEM: int = 40
 
     @property

@@ -43,6 +43,7 @@ from ..ops.corr_pallas import (
     corr_lattice2_stacked,
     corr_lattice_fused2,
     corr_lattice_fused3,
+    corr_lattice_fused4,
     folded_corr_perm,
     make_strips,
     paired_corr_perm,
@@ -178,7 +179,7 @@ def _commit(cfg: VOConfig, state: VOState, fmap, gmap, imap_vec, patches_new,
     # strip-major views for the fused3 kernel: rebuild the new slot only
     # (~28 MB write/frame; the kernel then reads tiles with zero relayout)
     strips1_r, strips2_r = state.strips1_r, state.strips2_r
-    if cfg.CORR_LAYOUT == "fused3":
+    if cfg.CORR_LAYOUT in ("fused3", "fused4"):
         for ring, strips_attr in ((fmap1_r, "strips1_r"),
                                   (fmap2_r, "strips2_r")):
             slot = jax.lax.dynamic_slice(
@@ -334,12 +335,22 @@ def _edge_corr_ctx_lattice(cfg: VOConfig, state: VOState, ii, jj, kk):
     L = state.l2g.shape[0]
 
     h4, w4 = state.hw4
-    if cfg.CORR_LAYOUT in ("fused2", "fused3") and cfg.CELL_REPROJECT:
+    if cfg.CORR_LAYOUT in ("fused2", "fused3", "fused4") \
+            and cfg.CELL_REPROJECT:
         u, v, uc, vc = _reproject_lattice_planar(cfg, state)
         target = jnp.stack(
             [uc.reshape(-1), vc.reshape(-1)], axis=-1
         )                                                   # [E, 2]
-        if cfg.CORR_LAYOUT == "fused3":
+        if cfg.CORR_LAYOUT == "fused4":
+            corr_in = corr_lattice_fused4(
+                state.gmap_r, state.strips1_r, state.strips2_r,
+                (u, v, uc, vc), state.cell_valid,
+                state.n, state.slotmap, cfg.PATCH_LIFETIME, 3,
+                interpret=cfg.CORR_IMPL == "lattice_interpret",
+                prestripped=True, hw=(h4, w4, h4 // 4, w4 // 4),
+                lat=(NI, T, M, P),
+            )
+        elif cfg.CORR_LAYOUT == "fused3":
             corr_in = corr_lattice_fused3(
                 state.gmap_r, state.strips1_r, state.strips2_r,
                 (u, v, uc, vc), state.cell_valid,
@@ -367,7 +378,15 @@ def _edge_corr_ctx_lattice(cfg: VOConfig, state: VOState, ii, jj, kk):
         coords = _reproject_edges_lattice(cfg, state, ii, jj, kk)
     else:
         coords = _reproject_edges(cfg, state, ii, jj, kk)
-    if cfg.CORR_LAYOUT == "fused3":
+    if cfg.CORR_LAYOUT == "fused4":
+        corr_in = corr_lattice_fused4(
+            state.gmap_r, state.strips1_r, state.strips2_r,
+            coords.reshape(NI, T, M, P, P, 2), state.cell_valid,
+            state.n, state.slotmap, cfg.PATCH_LIFETIME, 3,
+            interpret=cfg.CORR_IMPL == "lattice_interpret",
+            prestripped=True, hw=(h4, w4, h4 // 4, w4 // 4),
+        )
+    elif cfg.CORR_LAYOUT == "fused3":
         corr_in = corr_lattice_fused3(
             state.gmap_r, state.strips1_r, state.strips2_r,
             coords.reshape(NI, T, M, P, P, 2), state.cell_valid,

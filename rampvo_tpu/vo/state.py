@@ -89,7 +89,7 @@ class VOState:
 
     # ---- optional strip-major views of the fmap rings ----
     # (ops/corr_pallas.make_strips), allocated only for CORR_LAYOUT
-    # "fused3": the kernel's per-edge tile becomes one contiguous 2-D
+    # "fused3"/"fused4": the kernel's per-edge tile becomes one contiguous 2-D
     # sublane slice (no Mosaic relayout). Rebuilt per commit for the new
     # slot only; indexed by the same slotmap.
     strips1_r: Any = None     # [MEM, NX1, Hp1*TX, 128] or None
@@ -183,11 +183,11 @@ def init_state(cfg: VOConfig, enc_state, ht: int, wd: int, P: int = 3,
         ),
         strips1_r=(
             jnp.zeros((MEM,) + strips_shape(h, w) + (128,), fdt)
-            if cfg.CORR_LAYOUT == "fused3" else None
+            if cfg.CORR_LAYOUT in ("fused3", "fused4") else None
         ),
         strips2_r=(
             jnp.zeros((MEM,) + strips_shape(h // 4, w // 4) + (128,), fdt)
-            if cfg.CORR_LAYOUT == "fused3" else None
+            if cfg.CORR_LAYOUT in ("fused3", "fused4") else None
         ),
         cell_valid=jnp.zeros((NI, T), bool),
         net=jnp.zeros((NI, T, M, dim), jnp.float32),

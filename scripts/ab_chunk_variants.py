@@ -35,6 +35,7 @@ BASE = dict(
 ALL_VARIANTS = {
     "f2": {"CORR_LAYOUT": "fused2"},
     "f3": {"CORR_LAYOUT": "fused3"},
+    "f4": {"CORR_LAYOUT": "fused4"},
 }
 # argv selects variants (first = baseline); default the r04 decision pair
 VARIANTS = [

@@ -29,6 +29,7 @@ from rampvo_tpu.ops.corr_pallas import (
     corr_lattice2_stacked,
     corr_lattice_fused2,
     corr_lattice_fused3,
+    corr_lattice_fused4,
     folded_corr_perm,
     paired_corr_perm,
 )
@@ -105,6 +106,10 @@ def main():
 
     check_paired("fused2", corr_lattice_fused2(*args, **kw))
     check_paired("fused3", corr_lattice_fused3(*args, **kw))
+    check_paired("fused4", corr_lattice_fused4(*args, **kw))
+    # fused4's t-band split must not change routing (bands straddle the
+    # per-target live range at tb=2)
+    check_paired("fused4/tb2", corr_lattice_fused4(*args, tb=2, **kw))
 
     st = np.asarray(corr_lattice2_stacked(*args, **kw), np.float32)
     d = np.abs((ref - st)[v]).max()
@@ -133,7 +138,7 @@ def main():
     if gating:
         print(f"UNEXPECTED FAILURES: {gating}")
         sys.exit(1)
-    print("hardware-safe layout (fused2) correct")
+    print("hardware-safe layouts (fused2, fused3, fused4) correct")
 
 
 if __name__ == "__main__":

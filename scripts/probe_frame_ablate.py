@@ -60,7 +60,13 @@ def main():
         jnp.zeros((1, H, W, 3)),
         jnp.asarray([True]),
     )
-    state0 = init_state(cfg, MultiScaleEncoder.init_state(H, W), H, W)
+    from rampvo_tpu.vo.runtime import make_enc_state
+
+    # PRODUCTION encoder carry layout (channel-major when the Pallas
+    # encoder is on): with the flax NHWC carry this probe measured the
+    # flax encode path (+NHWC<->CM transposes) and overstated the
+    # production encoder by ~3.5 ms (r05 session 1)
+    state0 = init_state(cfg, make_enc_state(cfg, "MultiScale", H, W), H, W)
     vo_frame = make_vo_frame(cfg, vonet)
 
     rng = np.random.RandomState(0)
@@ -76,7 +82,8 @@ def main():
     print(f"warmed: n={int(state.n)} counter={int(state.counter)}")
 
     def encode_fn(params, events, images, m, enc_state):
-        # match the production default (flax path, bf16 mixed precision)
+        # match the production default (Pallas channel-major chain when
+        # enabled, bf16 mixed precision — mirrors runtime.make_vo_frame)
         p16 = jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
             params,
@@ -84,10 +91,23 @@ def main():
         e16 = jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16), enc_state
         )
-        fmap, imap, enc2 = vonet.apply(
-            p16, events.astype(jnp.bfloat16), images.astype(jnp.bfloat16),
-            m, e16, 1, method=VONet.encode,
-        )
+        ev16 = events.astype(jnp.bfloat16)
+        im16 = images.astype(jnp.bfloat16)
+        if cfg.pallas_encoder_on():
+            from rampvo_tpu.ops.encoder_pallas import (
+                pallas_multiscale_encode,
+            )
+
+            fmap, imap, enc2 = pallas_multiscale_encode(
+                p16["params"]["patchify"]["encoder"], ev16, im16, m, e16,
+                interpret=jax.default_backend() != "tpu",
+            )
+            fmap = fmap / 4.0
+            imap = imap / 4.0
+        else:
+            fmap, imap, enc2 = vonet.apply(
+                p16, ev16, im16, m, e16, 1, method=VONet.encode,
+            )
         return fmap, imap, jax.tree_util.tree_map(
             lambda x: x.astype(jnp.float32), enc2
         )

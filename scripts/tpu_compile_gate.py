@@ -11,7 +11,7 @@ or training run will hit:
   bench     vo_frame + chunked step at the exact bench shapes (480x640, 96
             patches, default CORR_LAYOUT)
   layouts   vo_frame at bench shapes with every hardware-safe corr layout
-            (fused2, fused) — keeps the A/B matrix compilable
+            (fused2/3/4) — keeps the A/B matrix compilable
   encoders  vo_frame with PALLAS_ENCODER=True, both families
   train     value_and_grad of TrainForward with the fused training corr
             (corr_sched_fused forward + corr_sched_bwd backward)
@@ -98,7 +98,7 @@ def gate_layouts():
     H, W = 480, 640
     # only the hardware-safe layouts (static-amount rolls); folded is
     # CPU/interpret-only — its dynamic rolls miscompile on real TPUs
-    for layout in ("fused2", "fused3"):
+    for layout in ("fused2", "fused3", "fused4"):
         cfg = VOConfig(BUFFER_SIZE=512, MAX_FRAMES=512,
                        PATCHES_PER_FRAME=96, MIXED_PRECISION=True,
                        PROBE_THRESH=-1.0, KEYFRAME_THRESH=0.0,

@@ -216,3 +216,70 @@ class TestCorrLattice:
         a = np.asarray(ref, np.float32) @ W1
         b = np.asarray(fol, np.float32) @ W1[inv]
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-4)
+
+
+class TestFused4:
+
+    def _problem(self, seed, n, NI=4, T=5, M=8, P=3, C=128, MEM=5,
+                 H=40, W=48, holes=True):
+        rng = np.random.RandomState(seed)
+        r = (T + 1) // 2
+        gmap_r = jnp.asarray(rng.rand(MEM, M, P, P, C), jnp.bfloat16)
+        fmap1 = jnp.asarray(rng.rand(MEM, H, W, C), jnp.bfloat16)
+        fmap2 = jnp.asarray(rng.rand(MEM, H // 4, W // 4, C), jnp.bfloat16)
+        cen = rng.rand(NI, T, M, 1, 1, 2) * np.array([W + 8, H + 8]) - 4
+        off = rng.rand(NI, T, M, P, P, 2) * 4 - 2
+        coords = jnp.asarray(cen + off, jnp.float32)
+        i_row = np.arange(NI)[:, None]
+        tt = np.arange(T)[None, :]
+        i = n - 1 - np.mod(n - 1 - i_row, NI) + 0 * tt
+        j = i + tt - (r - 1)
+        cv = (i >= 0) & (j >= 0) & (j <= n - 1)
+        if holes:
+            cv = cv & (rng.rand(NI, T) < 0.8)
+        slotmap = np.full(64, -1, np.int32)
+        for f in range(max(0, n - MEM + 1), n):
+            slotmap[f] = f % MEM
+        return (gmap_r, fmap1, fmap2, coords, jnp.asarray(cv),
+                jnp.int32(n), jnp.asarray(slotmap), r)
+
+    @pytest.mark.parametrize("n", [6, 3, 2])
+    def test_fused4_matches_fused3(self, n):
+        """The cell-batched kernel == fused3 bit-for-bit on every valid
+        edge (same tiles, same dot/roll/blend chain — only the grid
+        decomposition and output routing differ), incl. early-sequence
+        partial lattices and cell_valid holes."""
+        from rampvo_tpu.ops.corr_pallas import (
+            corr_lattice_fused3,
+            corr_lattice_fused4,
+        )
+
+        args = self._problem(21 + n, n)
+        a = corr_lattice_fused3(*args, 3, interpret=True)
+        b = corr_lattice_fused4(*args, 3, interpret=True)
+        assert bool(jnp.isfinite(b.astype(jnp.float32)).all())
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        # planar coords interface == interleaved (production path)
+        g, f1, f2, coords, cv, nn, sm, r = args
+        NI, T, M, P = coords.shape[:4]
+        NC, MPP = NI * T, M * P * P
+        u = coords[..., 0].reshape(NC, MPP)
+        v = coords[..., 1].reshape(NC, MPP)
+        uc = coords[:, :, :, P // 2, P // 2, 0].reshape(NC, M)
+        vc = coords[:, :, :, P // 2, P // 2, 1].reshape(NC, M)
+        bp = corr_lattice_fused4(
+            g, f1, f2, (u, v, uc, vc), cv, nn, sm, r, 3, interpret=True,
+            lat=(NI, T, M, P),
+        )
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(bp))
+
+    def test_fused4_tband_split(self):
+        """A t-band smaller than T (multiple grid steps per target, bands
+        straddling the live range) changes nothing."""
+        from rampvo_tpu.ops.corr_pallas import corr_lattice_fused4
+
+        args = self._problem(7, 6)
+        a = corr_lattice_fused4(*args, 3, interpret=True, tb=2)
+        b = corr_lattice_fused4(*args, 3, interpret=True, tb=13)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -451,14 +451,19 @@ class TestLatticeRuntimeCPU:
         (at 1/4 res) from its patch center — with per-patch constant inverse
         depth that deviation is an affine-distortion (rotation/zoom) effect,
         not a motion-magnitude effect, so the approximation is ~exact; the
-        residual delta here is bf16 band arithmetic."""
+        residual delta here is bf16 band arithmetic.
 
-        def run(impl, seed=5):
+        Runs BOTH production layouts (fused3/fused4), so the tightened
+        level-2 approximation (SPREAD2_S=1: out-of-spread windows zeroed
+        at level 2 too) has a recorded trajectory-level error bound."""
+
+        def run(impl, seed=5, layout=None):
             cfg = VOConfig(
                 BUFFER_SIZE=64, PATCHES_PER_FRAME=8, REMOVAL_WINDOW=5,
                 OPTIMIZATION_WINDOW=4, PATCH_LIFETIME=3, KEYFRAME_INDEX=2,
                 MIXED_PRECISION=False, PROBE_THRESH=-1.0, MAX_FRAMES=64,
                 MEM=16, CORR_IMPL=impl,
+                **({"CORR_LAYOUT": layout} if layout else {}),
             )
             vo = RampVO(cfg, None, input_mode="MultiScale", ht=H, wd=W)
             vo.params = vo.vonet.init(
@@ -475,10 +480,12 @@ class TestLatticeRuntimeCPU:
             return poses
 
         p_xla = run("xla")
-        p_lat = run("lattice_interpret")
-        assert np.isfinite(p_lat).all()
-        delta = np.linalg.norm(p_lat[:, :3] - p_xla[:, :3], axis=1).max()
         extent = np.linalg.norm(p_xla[:, :3], axis=1).max()
-        print(f"lattice-vs-xla trajectory delta: {delta:.5f} "
-              f"(extent {extent:.4f})")
-        assert delta <= 0.05 * extent + 1e-3, (delta, extent)
+        for layout in ("fused3", "fused4"):
+            p_lat = run("lattice_interpret", layout=layout)
+            assert np.isfinite(p_lat).all()
+            delta = np.linalg.norm(
+                p_lat[:, :3] - p_xla[:, :3], axis=1).max()
+            print(f"{layout}-vs-xla trajectory delta: {delta:.5f} "
+                  f"(extent {extent:.4f})")
+            assert delta <= 0.05 * extent + 1e-3, (layout, delta, extent)
