@@ -106,7 +106,9 @@ def train(args):
     batch_size = max(train_cfg.get("batch_size", 1), 1) * n_dev
 
     def structure_only():
-        return step < 1000 and args.ckpt is None
+        # ref train.py:156: structure-only (frozen poses) warmup steps
+        so_steps = getattr(args, "structure_only_steps", 1000)
+        return step < so_steps and args.ckpt is None
 
     step_fns = {}
 
@@ -219,6 +221,10 @@ def main():
     parser.add_argument("--fmax", type=float, default=75.0)
     parser.add_argument("--seed", type=int, default=1234)
     parser.add_argument("--unroll_steps", type=int, default=18)
+    parser.add_argument("--structure_only_steps", type=int, default=1000,
+                        help="structure-only warmup steps "
+                             "(ref train.py:156; 0 = train poses from "
+                             "step one)")
     parser.add_argument("--print_every", type=int, default=10)
     parser.add_argument("--validate", action="store_true", default=False)
     train(parser.parse_args())
