@@ -394,9 +394,14 @@ class MultiScaleEncoder(nn.Module):
             )
             new_ss.append(ss_final)
 
-            # gather the super-states at supervised steps (static count)
+            # gather the super-states at supervised steps (static count).
+            # Tagged for remat policies (train/forward.py saves "enc_ss"
+            # so the backward pass skips re-running the LSTM+fold chain;
+            # a no-op identity outside jax.checkpoint)
+            from jax.ad_checkpoint import checkpoint_name
+
             (sup_idx,) = jnp.nonzero(mask, size=n_out, fill_value=T - 1)
-            sstates.append(ss_all[sup_idx])
+            sstates.append(checkpoint_name(ss_all[sup_idx], "enc_ss"))
 
         dims = [self.lstm_dim * s for s in self.scales]
         fmap = MultiScaleBasicEncoder4(self.output_dim_f, "instance",

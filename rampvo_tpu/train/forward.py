@@ -177,7 +177,7 @@ class TrainForward:
                  steps: int = 18, flow_weight: float = 0.1,
                  pose_weight: float = 10.0, event_bias: bool = True, P: int = 3,
                  ablate: frozenset = frozenset(), corr_impl: str = "auto",
-                 gradient_bias: bool = False):
+                 gradient_bias: bool = False, save_corr: bool = True):
         self.vonet = vonet
         self.n_frames = n_frames
         self.M = M
@@ -195,6 +195,13 @@ class TrainForward:
         # "fused_interpret": same in interpret mode (CPU tests);
         # "xla": exact gather path; "auto" = fused on TPU else xla
         self.corr_impl = corr_impl
+        # save the per-step corr features across the remat boundary
+        # (checkpoint_name + save_only_these_names): the backward then
+        # skips the fused corr kernel's recompute pass — the largest
+        # single term of the 2.39 s step (probe_train_ablate r05: corr
+        # ~1.0 s of fwd+bwd+remat). Costs steps x E x PP*128 bf16 of
+        # HBM (~0.3 GB at the reference recipe).
+        self.save_corr = save_corr
         self.sched = edge_schedule(n_frames, M, steps)
 
         # static sort-by-target tables for the fused training corr kernel
@@ -249,6 +256,9 @@ class TrainForward:
             fmap = jnp.zeros((NF, H4, W4, 128), jnp.float32)
             imap_full = jnp.zeros((NF, H4, W4, DIM), jnp.float32)
         else:
+            # (saving the tagged "enc_ss" super-states across this
+            # boundary measured NO step-time change at the reference
+            # recipe — r05; the tag remains for future remat probes)
             fmap, imap_full = jax.checkpoint(_encode)(
                 params, events, images, mask
             )
@@ -379,6 +389,10 @@ class TrainForward:
                 corr_in = corr_grad_dropout_paired(
                     corr_in, k_c1, k_c2, 0.2
                 ).astype(jnp.float32)
+                if self.save_corr:
+                    from jax.ad_checkpoint import checkpoint_name
+
+                    corr_in = checkpoint_name(corr_in, "corr_out")
             else:
                 c1 = corr_train(gmap_flat, pyr1, coords_e, kk, jj, 3)
                 c2 = corr_train(gmap_flat, pyr2, coords_e / 4.0, kk, jj, 3)
@@ -470,8 +484,14 @@ class TrainForward:
         # rematerialize each unrolled step in the backward pass: the corr
         # gather intermediate alone is ~5GB/step at full resolution — storing
         # it for 18 steps (95GB) cannot fit HBM; recompute trades ~2x step
-        # FLOPs for O(carry) memory
-        step_ckpt = jax.checkpoint(step, prevent_cse=False)
+        # FLOPs for O(carry) memory. The corr OUTPUT ([E, PP*128] bf16,
+        # tagged "corr_out") is small enough to save, sparing the backward
+        # the fused corr kernel's recompute pass.
+        policy = (
+            jax.checkpoint_policies.save_only_these_names("corr_out")
+            if self.save_corr else None
+        )
+        step_ckpt = jax.checkpoint(step, prevent_cse=False, policy=policy)
         (Gs, patches, net, valid, rng), outs = jax.lax.scan(
             step_ckpt, carry0, xs
         )

@@ -59,11 +59,15 @@ DIM = 384
 # ---------------------------------------------------------------------------
 
 def make_enc_state(cfg: VOConfig, input_mode: str, ht: int, wd: int):
-    """Encoder carry in the layout the encode path for `cfg` expects:
-    channel-major when the Pallas encoder resolves ON (PALLAS_ENCODER,
-    "auto" = TPU backend), flax NHWC otherwise. Use this instead of
-    calling {Multi,Single}ScaleEncoder.init_state directly when the state
-    feeds make_vo_frame / make_vo_frames_chunk."""
+    """Encoder carry in the layout AND dtype the encode path for `cfg`
+    expects: channel-major when the Pallas encoder resolves ON
+    (PALLAS_ENCODER, "auto" = TPU backend), flax NHWC otherwise; bf16
+    under MIXED_PRECISION (the state then stays bf16 across frames — the
+    reference's fp16 autocast likewise carries half-precision hidden
+    states, Ramp_vo.py:23 — skipping two full-state casts per frame).
+    Use this instead of calling {Multi,Single}ScaleEncoder.init_state
+    directly when the state feeds make_vo_frame / make_vo_frames_chunk."""
+    dt = jnp.bfloat16 if cfg.MIXED_PRECISION else jnp.float32
     if cfg.pallas_encoder_on():
         from ..ops.encoder_pallas import (
             multiscale_init_state_cm,
@@ -71,11 +75,11 @@ def make_enc_state(cfg: VOConfig, input_mode: str, ht: int, wd: int):
         )
 
         if input_mode == "SingleScale":
-            return singlescale_init_state_cm(ht, wd)
-        return multiscale_init_state_cm(ht, wd)
+            return singlescale_init_state_cm(ht, wd, dtype=dt)
+        return multiscale_init_state_cm(ht, wd, dtype=dt)
     if input_mode == "SingleScale":
-        return SingleScaleEncoder.init_state(ht, wd)
-    return MultiScaleEncoder.init_state(ht, wd)
+        return SingleScaleEncoder.init_state(ht, wd, dtype=dt)
+    return MultiScaleEncoder.init_state(ht, wd, dtype=dt)
 
 
 def _gather_pose(state: VOState, logical):
@@ -744,6 +748,13 @@ def make_vo_frame(cfg: VOConfig, vonet: VONet, event_bias: bool = True,
     """
 
     def encode_fn(params, events, images, mask, enc_state):
+        # a state already carried in bf16 (make_enc_state under
+        # MIXED_PRECISION) skips both per-frame casts — the reference's
+        # autocast likewise carries fp16 hidden states across frames
+        state_bf16 = all(
+            x.dtype == jnp.bfloat16
+            for x in jax.tree_util.tree_leaves(enc_state)
+        )
         if cfg.MIXED_PRECISION:
             # the reference encodes under fp16 autocast at inference
             # (Ramp_vo.py:23,331-337)
@@ -754,9 +765,10 @@ def make_vo_frame(cfg: VOConfig, vonet: VONet, event_bias: bool = True,
             )
             events = events.astype(jnp.bfloat16)
             images = images.astype(jnp.bfloat16)
-            enc_state = jax.tree_util.tree_map(
-                lambda x: x.astype(jnp.bfloat16), enc_state
-            )
+            if not state_bf16:
+                enc_state = jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.bfloat16), enc_state
+                )
         if (cfg.pallas_encoder_on() and vonet.input_mode == "MultiScale"
                 and events.shape[0] == 1):
             # channel-major Pallas LSTM+fold chain (ops/encoder_pallas.py);
@@ -788,7 +800,7 @@ def make_vo_frame(cfg: VOConfig, vonet: VONet, event_bias: bool = True,
                 params, events, images, mask, enc_state, 1,
                 method=VONet.encode
             )
-        if cfg.MIXED_PRECISION:
+        if cfg.MIXED_PRECISION and not state_bf16:
             enc2 = jax.tree_util.tree_map(
                 lambda x: x.astype(jnp.float32), enc2
             )
@@ -960,6 +972,20 @@ def make_encode_only(cfg: VOConfig, vonet: VONet):
     def encode_only(params, state: VOState, events, images, mask):
         events = events.astype(jnp.float32)
         images = images.astype(jnp.float32)
+        if cfg.MIXED_PRECISION:
+            # same autocast treatment as the full-frame encode (the
+            # reference runs events-only frames under the same context,
+            # Ramp_vo.py:23,338-342); a bf16-carried state stays bf16
+            params = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x,
+                params,
+            )
+            events = events.astype(jnp.bfloat16)
+            images = images.astype(jnp.bfloat16)
+            state = state.replace(enc=jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16), state.enc
+            ))
         if (cfg.pallas_encoder_on() and vonet.input_mode == "MultiScale"
                 and events.shape[0] == 1):
             # heads are dead code here (outputs unused) — XLA DCEs them
@@ -1034,21 +1060,9 @@ class RampVO:
         self._pp_tracks = None
         self._pp_models = None
 
-        if input_mode == "SingleScale":
-            if cfg.pallas_encoder_on():
-                from ..ops.encoder_pallas import singlescale_init_state_cm
-
-                enc_state = singlescale_init_state_cm(ht, wd)
-            else:
-                enc_state = SingleScaleEncoder.init_state(ht, wd)
-        else:
-            if cfg.pallas_encoder_on():
-                from ..ops.encoder_pallas import multiscale_init_state_cm
-
-                enc_state = multiscale_init_state_cm(ht, wd)
-            else:
-                enc_state = MultiScaleEncoder.init_state(ht, wd)
-        self.state = init_state(cfg, enc_state, ht, wd)
+        self.state = init_state(
+            cfg, make_enc_state(cfg, input_mode, ht, wd), ht, wd
+        )
         if seed:
             import jax as _jax
 

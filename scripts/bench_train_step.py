@@ -20,7 +20,8 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--impls", type=str, default="fused,xla",
-                    help="comma list of corr impls to time in ONE process")
+                    help="comma list of corr impls to time in ONE process; "
+                         "suffix _nosave disables the corr_out remat save")
     args = ap.parse_args()
 
     H, W, NF, M, STEPS = 480, 640, 15, 96, 18
@@ -56,8 +57,10 @@ def main():
     }
 
     for impl in args.impls.split(","):
+        sc = not impl.endswith("_nosave")
+        impl = impl.removesuffix("_nosave")
         fwd = TrainForward(vonet, n_frames=NF, M=M, steps=STEPS,
-                           corr_impl=impl)
+                           corr_impl=impl, save_corr=sc)
         step = make_train_step(fwd, optimizer)
         # params/opt_state are donated by the step: fresh copies per impl
         p = jax.tree_util.tree_map(jnp.copy, params)

@@ -73,7 +73,7 @@ def main():
     from rampvo_tpu.cli import train as tcli
 
     targs = argparse.Namespace(
-        data_path=osp.dirname(scene), name=run_name, ckpt=None,
+        data_path=scene, name=run_name, ckpt=None,
         config_path=cfg_path, log_results=False, tensorboard=None,
         workers=1, fmin=0.001, fmax=1000.0, seed=1234,
         unroll_steps=args.unroll, print_every=1, validate=False,

@@ -102,3 +102,36 @@ def test_evaluate_cli_end_to_end(scene, tmp_path, input_mode):
     gt = np.loadtxt(tdir / "stamped_groundtruth.txt")
     assert est.shape[1] == 8 and gt.shape[1] == 8
     assert est.shape[0] >= 5
+
+
+def test_evaluate_cli_mixed_precision_bf16_carry(scene, tmp_path):
+    """MIXED_PRECISION eval end-to-end: the encoder state is created AND
+    carried in bf16 (make_enc_state), and events-only frames run the
+    same autocast treatment (r05 regression: encode_only previously ran
+    the flax encoder in f32 against a bf16 carry -> scan carry dtype
+    mismatch -> every scene degraded to the ate=1000 sentinel)."""
+    eval_cfg = json.loads(json.dumps(synthetic.EVAL_CFG))
+    eval_cfg["data_loader"]["test"] = {
+        "test_split": [scene],
+        "dataset_name": "Synthetic",
+        "use_pose_pred": False,
+    }
+    cfg = VOConfig(
+        BUFFER_SIZE=64, MAX_FRAMES=64, PATCHES_PER_FRAME=8,
+        REMOVAL_WINDOW=5, OPTIMIZATION_WINDOW=4, PATCH_LIFETIME=3,
+        KEYFRAME_INDEX=2, MIXED_PRECISION=True, PROBE_THRESH=-1.0, MEM=16,
+    )
+    vonet = VONet(input_mode="MultiScale")
+    params = vonet.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 480, 640, 5)),
+        jnp.zeros((1, 480, 640, 3)),
+        jnp.asarray([True]),
+    )
+    results = evaluate(
+        net=params, trials=1, config_VO=cfg, eval_cfg=eval_cfg,
+        save_dir=str(tmp_path / "trajs_mp"),
+    )
+    trial = results[scene]["trial_0"]
+    assert np.isfinite(trial["ate"])
+    assert trial["ate"] != 1000.0, "sentinel: the MP path crashed"
