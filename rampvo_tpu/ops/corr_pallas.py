@@ -954,7 +954,7 @@ def make_strips(fpad: jnp.ndarray) -> jnp.ndarray:
 def _kernel_lat_fused3(tabs, strips1, strips2, g_ref, scal_ref,
                        vcol_ref, consts_ref, out_ref, *,
                        C, PP, D, M, NI, gang=GANG, ablate=(),
-                       pin_inputs=False, roll_bf16=False):
+                       pin_inputs=False, roll_bf16=False, vcol_lane=False):
     """corr_lattice_fused2 on strip-major feature rings.
 
     Differences from _kernel_lat_fused2 (semantics otherwise identical):
@@ -1043,6 +1043,11 @@ def _kernel_lat_fused3(tabs, strips1, strips2, g_ref, scal_ref,
                 W_roll = r_.shape[-1]
                 if "novcol" in ablate:
                     v_ = jnp.full((gang * PP, 1), (1 << 28) | 37, jnp.int32)
+                elif vcol_lane:
+                    # lane-packed layout [.., gang*PP, NG*2]: one column
+                    # per (gang, level); i is python-static (the gang
+                    # loop is unrolled in this mode)
+                    v_ = vcol_ref[0, 0, :, 2 * i + lvl: 2 * i + lvl + 1]
                 else:
                     v_ = vcol_ref[
                         0, 0, pl.ds(i * gang * PP, gang * PP), pl.ds(lvl, 1)
@@ -1095,6 +1100,9 @@ def _kernel_lat_fused3(tabs, strips1, strips2, g_ref, scal_ref,
 
         if "noloop" in ablate:
             pass
+        elif vcol_lane:
+            for _i in range(M // gang):
+                edge_gang(_i, 0)
         else:
             jax.lax.fori_loop(0, M // gang, edge_gang, 0)
 
@@ -1102,13 +1110,14 @@ def _kernel_lat_fused3(tabs, strips1, strips2, g_ref, scal_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("r", "radius", "interpret", "prestripped", "hw",
-                     "ablate", "pin_inputs", "lat", "roll_bf16"),
+                     "ablate", "pin_inputs", "lat", "roll_bf16",
+                     "vcol_lane"),
 )
 def corr_lattice_fused3(
     gmap_r, fmap1, fmap2, coords, cell_valid, n, slotmap,
     r: int, radius: int = 3, interpret: bool = False,
     prestripped: bool = False, hw=None, ablate=(), pin_inputs: bool = True,
-    lat=None, roll_bf16: bool = False,
+    lat=None, roll_bf16: bool = False, vcol_lane: bool = False,
 ) -> jnp.ndarray:
     """Strip-major lattice correlation (`_kernel_lat_fused3`). Same
     output contract as corr_lattice_fused2 ([NI*T*M, PP*128] bf16 paired
@@ -1167,7 +1176,7 @@ def corr_lattice_fused3(
         scal = jnp.stack(
             [tyA, txA // 8, tyB, txB // 8], axis=1
         ).astype(jnp.int32).reshape(NI, T, 4, M)
-        vcol = jnp.stack([vA, vB], axis=-1).reshape(NI, T, M * PP, 2)
+        vA_, vB_ = vA, vB
     else:
         cflat = coords.reshape(E, P, P, 2)
         prep1 = _level_prep(cflat, H1, W1, P, R, D, pad)
@@ -1179,7 +1188,25 @@ def corr_lattice_fused3(
             [ty1.reshape(NI * T, M), tx1.reshape(NI * T, M) // 8,
              ty2.reshape(NI * T, M), tx2.reshape(NI * T, M) // 8], axis=1,
         ).astype(jnp.int32).reshape(NI, T, 4, M)
-        vcol = jnp.stack([v1, v2], axis=-1).reshape(NI, T, M * PP, 2)
+        vA_ = v1.reshape(NI * T, M * PP)
+        vB_ = v2.reshape(NI * T, M * PP)
+
+    NC_ = NI * T
+    NG = M // gang
+    if vcol_lane:
+        # lane-packed window scalars [NI, T, gang*PP, NG*2] (one column
+        # per (gang, level), read at a python-static lane by the unrolled
+        # gang loop): the [.., M*PP, 2] form pads its minor dim 2 -> 128
+        # in HBM — 276 MB physical for a 4.3 MB table, written + DMA-read
+        # per update. MEASURED DEAD END r05 (non-default): exact parity
+        # but +0.54 ms/call at bench shapes — the 6x-unrolled gang body
+        # costs more than the saved table traffic
+        vcol = jnp.stack(
+            [vA_.reshape(NC_, NG, gang * PP),
+             vB_.reshape(NC_, NG, gang * PP)], axis=2,
+        ).transpose(0, 3, 1, 2).reshape(NI, T, gang * PP, NG * 2)
+    else:
+        vcol = jnp.stack([vA_, vB_], axis=-1).reshape(NI, T, M * PP, 2)
 
     gflat = gmap_r.reshape(MEM, M * PP, C)
 
@@ -1190,7 +1217,7 @@ def corr_lattice_fused3(
     else:
         g_spec = pl.BlockSpec((1, M * PP, C), lambda b, tb: (tb[b, 3], 0, 0))
     vcol_spec = pl.BlockSpec(
-        (1, 1, M * PP, 2), lambda b, tb: (tb[b, 0], tb[b, 1], 0, 0)
+        (1, 1) + vcol.shape[2:], lambda b, tb: (tb[b, 0], tb[b, 1], 0, 0)
     )
     scal_spec = pl.BlockSpec(
         (1, 1, 4, M), lambda b, tb: (tb[b, 0], tb[b, 1], 0, 0),
@@ -1215,7 +1242,8 @@ def corr_lattice_fused3(
     out = pl.pallas_call(
         functools.partial(_kernel_lat_fused3, C=C, PP=PP, D=D, M=M, NI=NI,
                           gang=gang, ablate=tuple(ablate),
-                          pin_inputs=pin_inputs, roll_bf16=roll_bf16),
+                          pin_inputs=pin_inputs, roll_bf16=roll_bf16,
+                          vcol_lane=vcol_lane),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(NB,),

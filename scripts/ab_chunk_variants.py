@@ -36,6 +36,8 @@ ALL_VARIANTS = {
     "f2": {"CORR_LAYOUT": "fused2"},
     "f3": {"CORR_LAYOUT": "fused3"},
     "f4": {"CORR_LAYOUT": "fused4"},
+    # control: the pre-r05 f32 encoder carry (per-frame f32<->bf16 casts)
+    "f3_f32carry": {"CORR_LAYOUT": "fused3", "_f32_carry": True},
 }
 # argv selects variants (first = baseline); default the r04 decision pair
 VARIANTS = [
@@ -62,10 +64,15 @@ def main():
 
     results = {}
     for name, kw in VARIANTS:
+        kw = dict(kw)
+        f32_carry = kw.pop("_f32_carry", False)
         cfg = VOConfig(**{**BASE, **kw})
         chunk = make_vo_frames_chunk(cfg, vonet)
-        state = init_state(
-            cfg, make_enc_state(cfg, "MultiScale", H, W), H, W)
+        enc0 = make_enc_state(cfg, "MultiScale", H, W)
+        if f32_carry:
+            enc0 = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.float32), enc0)
+        state = init_state(cfg, enc0, H, W)
         t0 = time.perf_counter()
         for ev_k, im_k in chunks[:5]:
             state = chunk(params, state, ev_k, im_k, masks, intr)
