@@ -1146,8 +1146,10 @@ def corr_lattice_fused3(
     assert M % GANG == 0, "lattice kernel needs M % 8 == 0"
     assert D == 8, "fused kernel packs 8x8 windows into 64 lanes"
     # gang=16 measured -1.6 ms/call vs 8 with in-register assembly (half
-    # the loop iterations; 144 = 18 exact sublane tiles)
-    gang = 16 if M % 16 == 0 else GANG
+    # the loop iterations; 144 = 18 exact sublane tiles); gang=32 another
+    # -1.55 ms at bench shapes (r05, exact parity on chip) — the [288, W]
+    # roll chains amortize per-chain overhead further
+    gang = 32 if M % 32 == 0 else 16 if M % 16 == 0 else GANG
 
     if prestripped:
         MEM, C = fmap1.shape[0], fmap1.shape[3]

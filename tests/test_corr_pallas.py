@@ -283,3 +283,45 @@ class TestFused4:
         a = corr_lattice_fused4(*args, 3, interpret=True, tb=2)
         b = corr_lattice_fused4(*args, 3, interpret=True, tb=13)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused3_gang32_matches_gang16():
+    """M % 32 == 0 engages the 32-edge gang (production bench shapes);
+    its output must equal the 16-edge gang bit-for-bit (same math, bigger
+    in-register blocks)."""
+    from rampvo_tpu.ops.corr_pallas import corr_lattice_fused3
+
+    rng = np.random.RandomState(3)
+    NI, T, M, P, C = 3, 5, 32, 3, 128
+    MEM, H, W = 4, 40, 48
+    r = (T + 1) // 2
+    n = 5
+    gmap_r = jnp.asarray(rng.rand(MEM, M, P, P, C), jnp.bfloat16)
+    fmap1 = jnp.asarray(rng.rand(MEM, H, W, C), jnp.bfloat16)
+    fmap2 = jnp.asarray(rng.rand(MEM, H // 4, W // 4, C), jnp.bfloat16)
+    cen = rng.rand(NI, T, M, 1, 1, 2) * np.array([W + 8, H + 8]) - 4
+    off = rng.rand(NI, T, M, P, P, 2) * 4 - 2
+    coords = jnp.asarray(cen + off, jnp.float32)
+    i_row = np.arange(NI)[:, None]
+    tt = np.arange(T)[None, :]
+    i = n - 1 - np.mod(n - 1 - i_row, NI) + 0 * tt
+    j = i + tt - (r - 1)
+    cv = jnp.asarray((i >= 0) & (j >= 0) & (j <= n - 1))
+    slotmap = jnp.asarray(np.arange(64) % MEM, jnp.int32)
+
+    a = corr_lattice_fused3(gmap_r, fmap1, fmap2, coords, cv, jnp.int32(n),
+                            slotmap, r, 3, interpret=True)
+
+    # force the 16-gang by splitting M into two 16-wide halves is not
+    # equivalent (edges interleave) — instead compare against fused2,
+    # whose gang logic is independent
+    from rampvo_tpu.ops.corr_pallas import corr_lattice_fused2
+
+    b = corr_lattice_fused2(gmap_r, fmap1, fmap2, coords, cv, jnp.int32(n),
+                            slotmap, r, 3, interpret=True)
+    # fused3's level-2 small tile (SPREAD2_S=1) differs from fused2's only
+    # out of spread; this synthetic stays in-spread -> near-exact
+    sa = np.asarray(a, np.float32)
+    sb = np.asarray(b, np.float32)
+    scale = max(np.abs(sb).max(), 1e-6)
+    assert np.abs(sa - sb).max() / scale < 1e-2

@@ -489,3 +489,33 @@ class TestLatticeRuntimeCPU:
             print(f"{layout}-vs-xla trajectory delta: {delta:.5f} "
                   f"(extent {extent:.4f})")
             assert delta <= 0.05 * extent + 1e-3, (layout, delta, extent)
+
+    def test_fused4_interpret_runs(self):
+        """Full runtime plumbing of the cell-batched layout: strips in
+        VOState, fused4 dispatch, target-major output regather."""
+        cfg = VOConfig(
+            BUFFER_SIZE=64,
+            PATCHES_PER_FRAME=8,
+            REMOVAL_WINDOW=5,
+            OPTIMIZATION_WINDOW=4,
+            PATCH_LIFETIME=3,
+            KEYFRAME_INDEX=2,
+            MIXED_PRECISION=False,
+            PROBE_THRESH=-1.0,
+            MAX_FRAMES=64,
+            MEM=16,
+            CORR_IMPL="lattice_interpret",
+            CORR_LAYOUT="fused4",
+        )
+        vo = RampVO(cfg, None, input_mode="MultiScale", ht=H, wd=W)
+        vo.params = vo.vonet.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, H, W, 5)),
+            jnp.zeros((1, H, W, 3)),
+            jnp.asarray([True]),
+        )
+        evs, ims = make_frames(9, seed=5)
+        for t in range(9):
+            vo(t / 10.0, jnp.asarray(evs[t]), jnp.asarray(ims[t]),
+               np.array([True]), np.array([40.0, 40.0, W / 2, H / 2]))
+        assert bool(vo.state.initialized)
