@@ -1145,11 +1145,12 @@ def corr_lattice_fused3(
     E = NI * T * M
     assert M % GANG == 0, "lattice kernel needs M % 8 == 0"
     assert D == 8, "fused kernel packs 8x8 windows into 64 lanes"
-    # gang=16 measured -1.6 ms/call vs 8 with in-register assembly (half
-    # the loop iterations; 144 = 18 exact sublane tiles); gang=32 another
-    # -1.55 ms at bench shapes (r05, exact parity on chip) — the [288, W]
-    # roll chains amortize per-chain overhead further
-    gang = 32 if M % 32 == 0 else 16 if M % 16 == 0 else GANG
+    # wider gangs amortize the per-chain overhead of the roll/select
+    # chains (exact parity on chip at every width): 16 -> 32 measured
+    # -1.55 ms/call at bench shapes, 32 -> 96 (the whole cell in one
+    # chain) another -0.4 (r05). Ladder keeps non-multiple configs on
+    # the old widths.
+    gang = next(g for g in (96, 48, 32, 16, GANG) if M % g == 0)
 
     if prestripped:
         MEM, C = fmap1.shape[0], fmap1.shape[3]
