@@ -1100,7 +1100,8 @@ def _kernel_lat_fused3(tabs, strips1, strips2, g_ref, scal_ref,
 
         if "noloop" in ablate:
             pass
-        elif vcol_lane:
+        elif vcol_lane or M // gang == 1:
+            # whole-cell gang: no loop scaffolding for a single trip
             for _i in range(M // gang):
                 edge_gang(_i, 0)
         else:
